@@ -1,0 +1,291 @@
+"""MERGE / UPDATE / DELETE over LakeTable — copy-on-write, bucket-pruned.
+
+Re-expresses the reference's mutation surface (SURVEY.md §2.9):
+- insert-only MERGE      IngestOrdersFromRawToFlat.scala:74-89
+- upsert MERGE           IngestRatingsFromRawToFlat.scala:75-103, SampleCrud.scala:46-65
+- generic merge builder  SnowflakeUtilsOld.scala:84-109
+- UPDATE with condition  SampleCrud.scala:28-36
+- DELETE with condition  SampleCrud.scala:71-75
+- merge metrics          MergeResult → IngestOrdersFromRawToFlat.scala:89-92
+
+Spark-first design, not a port: Snowflake executes MERGE server-side; here
+the physical strategy is an explicit copy-on-write plan that Catalyst then
+optimizes —
+
+1. bucket-prune: source keys → touched buckets (≤ num_buckets driver-side
+   ints); untouched buckets' files are carried over untouched. A small epoch
+   against a 100 TB table rewrites only its own buckets.
+2. full-outer join target(touched buckets) ⋈ source on keys — Catalyst
+   picks the join (AQE may broadcast a small source side); both sides
+   shuffle on the same keys.
+3. row arbitration with WHEN MATCHED / NOT MATCHED semantics.
+4. rewrite touched buckets (one shuffle keyed by bucket), atomic commit of
+   add+remove+metrics+properties in one log entry (the transaction).
+
+Metrics are computed with a key-only column-pruned probe of the touched
+buckets (reads just the key columns — parquet column pruning), not by
+caching the full joined plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .table import CommitResult, LakeTable, bucket_expr
+
+
+def _touched_buckets(source: DataFrame, key_cols: list[str], n: int) -> list[int]:
+    rows = (
+        source.select(bucket_expr(key_cols, n).alias("_b")).distinct().collect()
+    )
+    return sorted(r["_b"] for r in rows)
+
+
+def merge_into(
+    table: LakeTable,
+    source: DataFrame,
+    on: list[str] | None = None,
+    when_matched_update: dict[str, Column] | str | None = "all",
+    when_matched_delete: Column | None = None,
+    when_not_matched_insert: bool | Column = True,
+    matched_condition: Column | None = None,
+    properties: dict | None = None,
+    validate_unique_keys: bool = False,
+) -> CommitResult:
+    """MERGE INTO table USING source ON keys.
+
+    ``when_matched_update``: "all" replaces the full row with source values;
+    a dict maps target column → expression over aliases ``t`` (target) and
+    ``s`` (source); None disables updates (insert-only merge, M1).
+    ``when_matched_delete``: boolean Column over t/s — matching rows where it
+    holds are deleted (CDC delete ops; SampleCrud join-delete).
+    ``matched_condition``: extra predicate ANDed into the matched branch
+    (SnowflakeUtilsOld.scala:95-100 extra-condition parity).
+
+    Source must be key-unique (Snowflake MERGE raises on duplicate source
+    keys too); the CDC engine guarantees it via max-LSN dedup.
+    """
+    snap = table.snapshot()
+    keys = on or snap.key_cols
+    if not keys:
+        raise ValueError("merge requires key columns")
+    schema = snap.schema
+    tcols = [f.name for f in schema.fields]
+
+    if validate_unique_keys:
+        total, distinct = source.select(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("d"),
+        ).first()
+        if total != distinct:
+            raise ValueError(f"merge source keys not unique: {total} rows, {distinct} keys")
+
+    src = source.alias("s")
+    matched = F.lit(True) if matched_condition is None else matched_condition
+    # Insert branch condition. A delete op arriving for an absent key is a
+    # no-op (never an insert), so the delete condition (source-side, e.g.
+    # s.op='delete') negates into the default insert guard.
+    if isinstance(when_not_matched_insert, Column):
+        insert_cond = when_not_matched_insert
+        do_insert = True
+    else:
+        do_insert = bool(when_not_matched_insert)
+        insert_cond = F.lit(do_insert)
+        if do_insert and when_matched_delete is not None:
+            insert_cond = ~F.coalesce(when_matched_delete, F.lit(False))
+
+    if snap.num_buckets:
+        buckets = _touched_buckets(source, keys, snap.num_buckets)
+        touched_files = snap.files_in_buckets(set(buckets))
+        untouched = [p for p in snap.files if p not in set(touched_files)]
+    else:
+        buckets, touched_files, untouched = None, list(snap.files), []
+
+    tgt = table._read_files(touched_files, schema).alias("t")
+
+    # ---- metrics probe: key-only scan of touched buckets (column-pruned)
+    tkeys = tgt.select(*[F.col(f"t.{k}") for k in keys]).withColumn("_m", F.lit(1))
+    probe = src.join(tkeys, on=keys, how="left")
+    is_matched = (F.col("_m") == 1) & matched
+    del_flag = (
+        F.lit(False) if when_matched_delete is None else when_matched_delete
+    )
+    # NOTE: the probe carries only source columns + key match flag, so a
+    # delete condition used here must reference source columns (the CDC op
+    # column) — which is how every reference call site uses it.
+    m = probe.agg(
+        F.sum(
+            F.when(is_matched & del_flag, 1).otherwise(0)
+        ).alias("deleted"),
+        F.sum(
+            F.when(
+                is_matched & ~del_flag & F.lit(when_matched_update is not None), 1
+            ).otherwise(0)
+        ).alias("updated"),
+        F.sum(
+            F.when(F.col("_m").isNull() & insert_cond, 1).otherwise(0)
+        ).alias("inserted"),
+    ).first()
+    summary = {
+        "rows_inserted": int(m["inserted"] or 0),
+        "rows_updated": int(m["updated"] or 0),
+        "rows_deleted": int(m["deleted"] or 0),
+        "buckets_rewritten": len(buckets) if buckets is not None else None,
+        "files_carried": len(untouched),
+    }
+
+    # ---- arbitration
+    joined = tgt.join(src, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], how="full_outer")
+    t_exists = F.col(f"t.{keys[0]}").isNotNull()
+    s_exists = F.col(f"s.{keys[0]}").isNotNull()
+    # NB: null keys — the CDC engine forbids null keys; eqNullSafe keeps the
+    # join total anyway.
+
+    def target_row():
+        return [F.col(f"t.{c}").alias(c) for c in tcols]
+
+    def source_row():
+        scols = set(source.columns)
+        return [
+            (F.col(f"s.{c}") if c in scols else F.lit(None)).cast(
+                schema[c].dataType
+            ).alias(c)
+            for c in tcols
+        ]
+
+    def updated_row():
+        if when_matched_update == "all":
+            return source_row()
+        out = []
+        for c in tcols:
+            if when_matched_update and c in when_matched_update:
+                out.append(when_matched_update[c].cast(schema[c].dataType).alias(c))
+            else:
+                out.append(F.col(f"t.{c}").alias(c))
+        return out
+
+    branches = []
+    # matched + delete
+    if when_matched_delete is not None:
+        branches.append((t_exists & s_exists & matched & when_matched_delete, None))
+    # matched + update
+    if when_matched_update is not None:
+        upd = updated_row()
+        branches.append((t_exists & s_exists & matched, upd))
+    # not matched + insert
+    if do_insert:
+        branches.append((~t_exists & s_exists & insert_cond, source_row()))
+
+    keep = target_row()
+    result_cols = []
+    for i, c in enumerate(tcols):
+        expr = keep[i]
+        for cond, row in reversed(branches):
+            expr = F.when(cond, F.lit(None).cast(schema[c].dataType) if row is None else row[i]).otherwise(expr)
+        result_cols.append(expr.alias(c))
+
+    drop = F.lit(False)
+    for cond, row in branches:
+        if row is None:
+            drop = drop | cond
+    # source-only rows that don't qualify for insert → drop
+    drop = drop | (
+        ~t_exists & s_exists & ~F.coalesce(insert_cond, F.lit(False))
+    )
+    # matched rows when no matched branch applies → keep target (default)
+
+    result = joined.where(~drop).select(*result_cols)
+
+    adds = table._stage_dataframe(result, schema, snap.num_buckets, snap.key_cols)
+    return table.commit_rewrite(
+        adds=adds,
+        removes=touched_files,
+        operation="merge",
+        properties=properties,
+        summary=summary,
+        expected_version=snap.version + 1,
+    )
+
+
+def update(
+    table: LakeTable,
+    assignments: dict[str, Column],
+    condition: Column | None = None,
+    properties: dict | None = None,
+) -> CommitResult:
+    """UPDATE table SET ... WHERE ... (SampleCrud.scala:28-36).
+
+    File-pruned copy-on-write: only files that contain ≥1 matching row are
+    rewritten (located via input_file_name), the rest carry over.
+    """
+    return _rewrite_matching_files(table, condition, "update", properties, assignments)
+
+
+def delete(
+    table: LakeTable,
+    condition: Column,
+    properties: dict | None = None,
+) -> CommitResult:
+    """DELETE FROM table WHERE ... (SampleCrud.scala:71-75)."""
+    return _rewrite_matching_files(table, condition, "delete", properties, None)
+
+
+def _rewrite_matching_files(
+    table: LakeTable,
+    condition: Column | None,
+    operation: str,
+    properties: dict | None,
+    assignments: dict[str, Column] | None,
+) -> CommitResult:
+    import os
+
+    snap = table.snapshot()
+    schema = snap.schema
+    cond = F.lit(True) if condition is None else condition
+    df = table.read()
+    hit_files = [
+        r["_f"]
+        for r in df.withColumn("_f", F.input_file_name())
+        .where(cond)
+        .select("_f")
+        .distinct()
+        .collect()
+    ]
+    root = os.path.realpath(table.root)
+    rel_hits = []
+    for fpath in hit_files:
+        p = os.path.realpath(fpath.replace("file://", "").replace("file:", ""))
+        rel_hits.append(os.path.relpath(p, root))
+    if not rel_hits:
+        return table.commit_rewrite(
+            [], [], operation, properties=properties, summary={"rows_affected": 0}
+        )
+    sub = table._read_files(rel_hits, schema)
+    n_before = sub.count()
+    if operation == "delete":
+        out = sub.where(~cond)
+        n_after = out.count()
+        summary = {"rows_affected": n_before - n_after}
+    else:
+        out_cols = []
+        for f in schema.fields:
+            if assignments and f.name in assignments:
+                out_cols.append(
+                    F.when(cond, assignments[f.name].cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                out_cols.append(F.col(f.name))
+        out = sub.select(*out_cols)
+        summary = {"rows_affected": int(sub.where(cond).count())}
+    adds = table._stage_dataframe(out, schema, snap.num_buckets, snap.key_cols)
+    return table.commit_rewrite(
+        adds=adds,
+        removes=rel_hits,
+        operation=operation,
+        properties=properties,
+        summary=summary,
+        expected_version=snap.version + 1,
+    )

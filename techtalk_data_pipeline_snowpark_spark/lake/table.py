@@ -1,0 +1,333 @@
+"""LakeTable — a minimal versioned-parquet table format with atomic commits.
+
+Plays the role that Snowflake tables + multi-statement transactions play in
+the reference (SnowflakeUtils.scala:36-45,68-81 `executeInTransaction`;
+stream offsets advance atomically with the DML at commit). Here a *single
+atomic commit* carries data-file adds/removes, the current schema, arbitrary
+properties (the CDC commit-epoch manifest lives here), and merge metrics —
+so "stream consume + MERGE commit together" becomes "one log-entry link".
+
+Layout (local FS or any FS with atomic same-dir rename/link)::
+
+    <root>/
+      _log/00000000000000000001.json     # one JSON entry per version
+      data/b=<bucket>/<uuid>.parquet     # bucketed tables
+      data/<uuid>.parquet                # unbucketed tables
+
+Commit protocol: write ``.tmp-<uuid>`` then ``os.link`` to the final
+version-numbered name. ``link`` is atomic and fails with EEXIST on a
+concurrent writer → optimistic concurrency, single winner per version.
+Data files written before a failed commit are unreferenced orphans (cleaned
+by ``vacuum``), never visible — readers only see files listed in the log.
+
+Scale posture:
+- Buckets = hash(key) % N assigned with Spark's Murmur3 ``F.hash`` (stable,
+  JVM-side). MERGE rewrites only buckets containing source keys
+  (copy-on-write at bucket granularity), so a small epoch over a huge table
+  touches a bounded file set. N is chosen at create time for the target
+  table size (100 TB / N buckets ≈ executor-digestible units).
+- The log is O(versions) small JSON; snapshot reconstruction is a linear
+  replay (checkpointing the log would be the next step at 10^6 commits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LOG_DIR = "_log"
+DATA_DIR = "data"
+
+
+def bucket_expr(key_cols: list[str], num_buckets: int):
+    """Deterministic bucket id: pmod(murmur3(keys), N) — matches what any
+    executor computes, so bucket pruning in MERGE is exact."""
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(num_buckets))
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema: T.StructType
+    files: dict[str, dict]  # rel_path -> {"rows": int, "bucket": int|None}
+    key_cols: list[str]
+    num_buckets: int | None
+    properties: dict
+
+    def files_in_buckets(self, buckets: set[int]) -> list[str]:
+        return [p for p, m in self.files.items() if m.get("bucket") in buckets]
+
+
+@dataclass
+class CommitResult:
+    version: int
+    summary: dict = field(default_factory=dict)
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---------------------------------------------------------------- DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str] | None = None,
+        num_buckets: int | None = None,
+        if_not_exists: bool = False,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        if t.exists():
+            if if_not_exists:
+                return t
+            raise FileExistsError(f"lake table already exists at {root}")
+        os.makedirs(os.path.join(root, LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        t._commit(
+            {
+                "operation": "create",
+                "schema": schema.json(),
+                "key_cols": key_cols or [],
+                "num_buckets": num_buckets,
+                "add": [],
+                "remove": [],
+                "properties": properties or {},
+                "summary": {},
+            },
+            expected_version=1,
+        )
+        return t
+
+    def exists(self) -> bool:
+        d = os.path.join(self.root, LOG_DIR)
+        return os.path.isdir(d) and len(os.listdir(d)) > 0
+
+    # ---------------------------------------------------------------- log
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.root, LOG_DIR, f"{version:020d}.json")
+
+    def latest_version(self) -> int:
+        entries = os.listdir(os.path.join(self.root, LOG_DIR))
+        versions = [int(e.split(".")[0]) for e in entries if e.endswith(".json")]
+        if not versions:
+            raise FileNotFoundError(f"no commits in {self.root}")
+        return max(versions)
+
+    def log_entries(self, start: int = 1, end: int | None = None) -> list[dict]:
+        end = end if end is not None else self.latest_version()
+        out = []
+        for v in range(start, end + 1):
+            with open(self._log_path(v)) as f:
+                e = json.load(f)
+            e["version"] = v
+            out.append(e)
+        return out
+
+    def _commit(self, entry: dict, expected_version: int | None = None) -> CommitResult:
+        version = expected_version or self.latest_version() + 1
+        entry = dict(entry)
+        entry["version"] = version
+        entry["timestamp"] = time.time()
+        tmp = os.path.join(self.root, LOG_DIR, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._log_path(version))  # atomic; EEXIST on race
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"version {version} already committed at {self.root}"
+            ) from e
+        finally:
+            os.unlink(tmp)
+        return CommitResult(version=version, summary=entry.get("summary", {}))
+
+    # ------------------------------------------------------------ snapshot
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        version = version if version is not None else self.latest_version()
+        files: dict[str, dict] = {}
+        schema_json = None
+        key_cols: list[str] = []
+        num_buckets = None
+        props: dict = {}
+        for e in self.log_entries(1, version):
+            if e.get("schema"):
+                schema_json = e["schema"]
+            if e.get("key_cols"):
+                key_cols = e["key_cols"]
+            if e.get("num_buckets") is not None:
+                num_buckets = e["num_buckets"]
+            for rm in e.get("remove", []):
+                files.pop(rm, None)
+            for add in e.get("add", []):
+                files[add["path"]] = {
+                    "rows": add.get("rows"),
+                    "bucket": add.get("bucket"),
+                }
+            props.update(e.get("properties", {}))
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        return Snapshot(version, schema, files, key_cols, num_buckets, props)
+
+    # ---------------------------------------------------------------- read
+    def read(self, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        return self._read_files(list(snap.files), snap.schema)
+
+    def _read_files(self, rel_paths: list[str], schema: T.StructType) -> DataFrame:
+        if not rel_paths:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, p) for p in rel_paths]
+        # Explicit schema → old files missing newly-added columns read as
+        # null; int32 files under a widened long column are upcast by the
+        # parquet vectorized reader (verified in tests).
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def read_incremental(self, start_version: int, end_version: int | None = None) -> DataFrame:
+        """Changelog scan: rows in files ADDED in (start_version, end_version].
+
+        This is the Spark-side equivalent of a Snowflake stream read
+        (SnowflakeUtils.scala:46-66): only changes since the last consumed
+        offset. Valid for append-only ranges; a merge/overwrite commit in
+        range raises (its adds are rewrites, not new rows).
+        """
+        end_version = end_version if end_version is not None else self.latest_version()
+        snap = self.snapshot(end_version)
+        added: list[str] = []
+        for e in self.log_entries(start_version + 1, end_version):
+            if e.get("operation") not in ("append", "create"):
+                raise ValueError(
+                    f"incremental scan over non-append commit v{e['version']} "
+                    f"({e.get('operation')}); use a snapshot diff instead"
+                )
+            added.extend(a["path"] for a in e.get("add", []))
+        return self._read_files(added, snap.schema)
+
+    # --------------------------------------------------------------- write
+    def _stage_dataframe(
+        self,
+        df: DataFrame,
+        schema: T.StructType,
+        num_buckets: int | None,
+        key_cols: list[str],
+    ) -> list[dict]:
+        """Write df into data/ and return add-entries (not yet committed)."""
+        staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
+        adds: list[dict] = []
+        ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        if num_buckets:
+            out = df.select(*ordered, bucket_expr(key_cols, num_buckets).alias("_b"))
+            # One shuffle keyed by bucket; each task writes its bucket's file.
+            out.repartition(num_buckets, "_b").write.partitionBy("_b").mode(
+                "overwrite"
+            ).parquet(staging)
+            for bdir in os.listdir(staging):
+                if not bdir.startswith("_b="):
+                    continue
+                b = int(bdir.split("=")[1])
+                os.makedirs(os.path.join(self.root, DATA_DIR, f"b={b}"), exist_ok=True)
+                for fn in os.listdir(os.path.join(staging, bdir)):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = f"{DATA_DIR}/b={b}/{uuid.uuid4().hex}.parquet"
+                    os.rename(
+                        os.path.join(staging, bdir, fn),
+                        os.path.join(self.root, rel),
+                    )
+                    adds.append({"path": rel, "bucket": b})
+        else:
+            df.select(*ordered).write.mode("overwrite").parquet(staging)
+            for fn in os.listdir(staging):
+                if fn.endswith(".parquet"):
+                    rel = f"{DATA_DIR}/{uuid.uuid4().hex}.parquet"
+                    os.rename(os.path.join(staging, fn), os.path.join(self.root, rel))
+                    adds.append({"path": rel, "bucket": None})
+        shutil.rmtree(staging, ignore_errors=True)
+        return adds
+
+    def append(self, df: DataFrame, properties: dict | None = None) -> CommitResult:
+        snap = self.snapshot()
+        adds = self._stage_dataframe(df, snap.schema, snap.num_buckets, snap.key_cols)
+        return self._commit(
+            {
+                "operation": "append",
+                "add": adds,
+                "remove": [],
+                "properties": properties or {},
+                "summary": {},
+            },
+            expected_version=snap.version + 1,
+        )
+
+    def overwrite(
+        self, df: DataFrame, schema: T.StructType | None = None, properties: dict | None = None
+    ) -> CommitResult:
+        snap = self.snapshot()
+        schema = schema or df.schema
+        adds = self._stage_dataframe(df, schema, snap.num_buckets, snap.key_cols)
+        return self._commit(
+            {
+                "operation": "overwrite",
+                "schema": schema.json(),
+                "add": adds,
+                "remove": list(snap.files),
+                "properties": properties or {},
+                "summary": {},
+            },
+            expected_version=snap.version + 1,
+        )
+
+    def commit_rewrite(
+        self,
+        adds: list[dict],
+        removes: list[str],
+        operation: str,
+        schema: T.StructType | None = None,
+        properties: dict | None = None,
+        summary: dict | None = None,
+        expected_version: int | None = None,
+    ) -> CommitResult:
+        entry = {
+            "operation": operation,
+            "add": adds,
+            "remove": removes,
+            "properties": properties or {},
+            "summary": summary or {},
+        }
+        if schema is not None:
+            entry["schema"] = schema.json()
+        return self._commit(entry, expected_version=expected_version)
+
+    # ------------------------------------------------------------- utility
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the latest snapshot (orphans
+        from failed commits / rewritten buckets). Returns count removed."""
+        live = {os.path.join(self.root, p) for p in self.snapshot().files}
+        removed = 0
+        for dirpath, _, files in os.walk(os.path.join(self.root, DATA_DIR)):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                if p not in live:
+                    os.unlink(p)
+                    removed += 1
+        return removed
+
+    def history(self) -> list[dict]:
+        return self.log_entries()

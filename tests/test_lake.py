@@ -1,0 +1,114 @@
+"""LakeTable format: create/append/overwrite/read, atomic commits,
+incremental scans, schema widening reads, vacuum."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from techtalk_data_pipeline_snowpark_spark.lake import (
+    ConcurrentCommitError,
+    LakeTable,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(repo=r, path=p, content=c) for r, p, c in rows], SCHEMA)
+
+
+def test_create_append_read(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=4)
+    assert t.read().count() == 0
+    t.append(_df(spark, [("a/r", "f.py", "x"), ("b/r", "g.py", "y")]))
+    t.append(_df(spark, [("c/r", "h.py", "z")]))
+    got = {(r.repo, r.path, r.content) for r in t.read().collect()}
+    assert got == {("a/r", "f.py", "x"), ("b/r", "g.py", "y"), ("c/r", "h.py", "z")}
+
+
+def test_overwrite_and_versioned_read(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=4)
+    t.append(_df(spark, [("a", "1", "old")]))
+    v_before = t.latest_version()
+    t.overwrite(_df(spark, [("a", "1", "new"), ("b", "2", "n2")]))
+    assert t.read().count() == 2
+    assert t.read(version=v_before).collect()[0].content == "old"
+
+
+def test_incremental_scan_appends_only(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=4)
+    t.append(_df(spark, [("a", "1", "x")]))
+    v1 = t.latest_version()
+    t.append(_df(spark, [("b", "2", "y"), ("c", "3", "z")]))
+    inc = t.read_incremental(v1)
+    assert {r.repo for r in inc.collect()} == {"b", "c"}
+    t.overwrite(_df(spark, [("q", "9", "w")]))
+    with pytest.raises(ValueError):
+        t.read_incremental(v1).collect()
+
+
+def test_atomic_commit_conflict(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2)
+    t.append(_df(spark, [("a", "1", "x")]))
+    with pytest.raises(ConcurrentCommitError):
+        t._commit({"operation": "append", "add": [], "remove": []}, expected_version=t.latest_version())
+
+
+def test_schema_add_column_null_fill(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2)
+    t.append(_df(spark, [("a", "1", "x")]))
+    wider = T.StructType(SCHEMA.fields + [T.StructField("license", T.StringType())])
+    t.commit_rewrite([], [], "evolve-schema", schema=wider)
+    rows = t.read().collect()
+    assert rows[0].license is None
+    df2 = spark.createDataFrame([("b", "2", "y", "mit")], wider)
+    t.append(df2)
+    got = {(r.repo, r.license) for r in t.read().collect()}
+    assert got == {("a", None), ("b", "mit")}
+
+
+def test_schema_widen_int_to_long(spark, tmp_table_root):
+    s_int = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("size", T.IntegerType())]
+    )
+    t = LakeTable.create(spark, tmp_table_root, s_int, key_cols=["k"], num_buckets=2)
+    t.append(spark.createDataFrame([("a", 1)], s_int))
+    s_long = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("size", T.LongType())]
+    )
+    t.commit_rewrite([], [], "evolve-schema", schema=s_long)
+    t.append(spark.createDataFrame([("b", 2**40)], s_long))
+    got = dict((r.k, r.size) for r in t.read().collect())
+    assert got == {"a": 1, "b": 2**40}
+    assert dict(t.read().dtypes)["size"] == "bigint"
+
+
+def test_vacuum_removes_orphans(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2)
+    t.append(_df(spark, [("a", "1", "x")]))
+    # stage files without committing them → orphans
+    t._stage_dataframe(_df(spark, [("z", "z", "z")]), SCHEMA, 2, ["repo", "path"])
+    n = t.vacuum()
+    assert n >= 1
+    assert t.read().count() == 1
+
+
+def test_bucket_pruning_metadata(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=8)
+    t.append(_df(spark, [(f"r{i}", f"p{i}", "c") for i in range(50)]))
+    snap = t.snapshot()
+    buckets = {m["bucket"] for m in snap.files.values()}
+    assert buckets <= set(range(8)) and len(buckets) > 1
+    some = sorted(buckets)[:2]
+    sub = t._read_files(snap.files_in_buckets(set(some)), snap.schema)
+    from techtalk_data_pipeline_snowpark_spark.lake import bucket_expr
+
+    got = sub.select(bucket_expr(["repo", "path"], 8).alias("b")).distinct().collect()
+    assert {r.b for r in got} <= set(some)

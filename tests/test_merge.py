@@ -1,0 +1,120 @@
+"""MERGE (insert-only, upsert, delete branch), UPDATE, DELETE parity with
+the reference semantics (SURVEY.md §2.9)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from techtalk_data_pipeline_snowpark_spark.lake import LakeTable, delete, merge_into, update
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("tag", T.StringType()),
+    ]
+)
+
+
+def _t(spark, root, rows, buckets=4):
+    t = LakeTable.create(spark, root, SCHEMA, key_cols=["k"], num_buckets=buckets)
+    if rows:
+        t.append(spark.createDataFrame(rows, SCHEMA))
+    return t
+
+
+def test_merge_insert_only(spark, tmp_table_root):
+    """WHEN NOT MATCHED INSERT only — IngestOrdersFromRawToFlat.scala:74-89."""
+    t = _t(spark, tmp_table_root, [("a", 1, "old"), ("b", 2, "old")])
+    src = spark.createDataFrame([("a", 99, "new"), ("c", 3, "new")], SCHEMA)
+    res = merge_into(t, src, on=["k"], when_matched_update=None)
+    assert res.summary == {
+        "rows_inserted": 1,
+        "rows_updated": 0,
+        "rows_deleted": 0,
+    } | {k: res.summary[k] for k in ("buckets_rewritten", "files_carried")}
+    got = {(r.k, r.v, r.tag) for r in t.read().collect()}
+    assert got == {("a", 1, "old"), ("b", 2, "old"), ("c", 3, "new")}
+
+
+def test_merge_upsert_all(spark, tmp_table_root):
+    t = _t(spark, tmp_table_root, [("a", 1, "old"), ("b", 2, "old")])
+    src = spark.createDataFrame([("a", 99, "upd"), ("c", 3, "ins")], SCHEMA)
+    res = merge_into(t, src, on=["k"])
+    assert res.summary["rows_updated"] == 1 and res.summary["rows_inserted"] == 1
+    got = {(r.k, r.v, r.tag) for r in t.read().collect()}
+    assert got == {("a", 99, "upd"), ("b", 2, "old"), ("c", 3, "ins")}
+
+
+def test_merge_update_expressions(spark, tmp_table_root):
+    """WHEN MATCHED UPDATE with expressions — SampleCrud.scala:46-65
+    (update uses size*100, upper(code))."""
+    t = _t(spark, tmp_table_root, [("a", 5, "x")])
+    src = spark.createDataFrame([("a", 7, "y")], SCHEMA)
+    merge_into(
+        t,
+        src,
+        on=["k"],
+        when_matched_update={"v": F.col("s.v") * 100, "tag": F.upper(F.col("t.tag"))},
+    )
+    r = t.read().collect()[0]
+    assert (r.v, r.tag) == (700, "X")
+
+
+def test_merge_cdc_delete_branch(spark, tmp_table_root):
+    t = _t(spark, tmp_table_root, [("a", 1, "x"), ("b", 2, "y")])
+    src_schema = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+    src = spark.createDataFrame(
+        [("a", None, None, "delete"), ("b", 22, "u", "update"), ("c", 3, "i", "insert")],
+        src_schema,
+    )
+    res = merge_into(
+        t,
+        src,
+        on=["k"],
+        when_matched_delete=F.col("s.op") == "delete",
+        when_not_matched_insert=True,
+    )
+    assert res.summary["rows_deleted"] == 1
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {("b", 22), ("c", 3)}
+
+
+def test_merge_delete_for_absent_key_is_noop(spark, tmp_table_root):
+    t = _t(spark, tmp_table_root, [("a", 1, "x")])
+    src_schema = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+    src = spark.createDataFrame([("zzz", None, None, "delete")], src_schema)
+    merge_into(t, src, on=["k"], when_matched_delete=F.col("s.op") == "delete")
+    # a delete for a key that doesn't exist must not insert
+    got = {(r.k,) for r in t.read().collect()}
+    assert got == {("a",)}
+
+
+def test_merge_bucket_pruning(spark, tmp_table_root):
+    t = _t(spark, tmp_table_root, [(f"k{i}", i, "x") for i in range(200)], buckets=16)
+    snap0 = t.snapshot()
+    src = spark.createDataFrame([("k0", 999, "upd")], SCHEMA)
+    res = merge_into(t, src, on=["k"])
+    assert res.summary["buckets_rewritten"] == 1
+    snap1 = t.snapshot()
+    # every untouched file object survives identically
+    carried = set(snap0.files) & set(snap1.files)
+    assert len(carried) == len(snap0.files) - len(
+        snap0.files_in_buckets({list(snap1.files.values())[0]["bucket"]})
+    ) or res.summary["files_carried"] == len(carried)
+    assert t.read().where(F.col("k") == "k0").collect()[0].v == 999
+    assert t.read().count() == 200
+
+
+def test_update_with_condition(spark, tmp_table_root):
+    t = _t(spark, tmp_table_root, [("a", 1, "x"), ("b", 200, "y")])
+    res = update(t, {"tag": F.lit("BIG")}, F.col("v") > 100)
+    assert res.summary["rows_affected"] == 1
+    got = {(r.k, r.tag) for r in t.read().collect()}
+    assert got == {("a", "x"), ("b", "BIG")}
+
+
+def test_delete_with_condition(spark, tmp_table_root):
+    t = _t(spark, tmp_table_root, [("a", 1, "x"), ("b", 200, "y"), ("c", 300, "z")])
+    res = delete(t, F.col("v") > 100)
+    assert res.summary["rows_affected"] == 2
+    assert {r.k for r in t.read().collect()} == {"a"}
