@@ -1,0 +1,13 @@
+from .dedup import dedup_latest, dedup_latest_salted, dedup_latest_window
+from .engine import CdcEngine, EpochResult
+from .schema_evolution import SchemaEvolutionError, reconcile
+
+__all__ = [
+    "CdcEngine",
+    "EpochResult",
+    "SchemaEvolutionError",
+    "dedup_latest",
+    "dedup_latest_salted",
+    "dedup_latest_window",
+    "reconcile",
+]

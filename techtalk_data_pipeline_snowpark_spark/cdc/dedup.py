@@ -1,0 +1,72 @@
+"""Max-LSN per-key reduction — the engine's core dedup (north_star:
+"deduplicate per (repo, path) key via max-LSN window reduction").
+
+Spark-first physical strategy: the default is **not** a window —
+``groupBy(key).agg(max_by(struct(payload), struct(lsn, ...)))`` gets
+Catalyst's two-phase hash aggregation (partial map-side combine before the
+shuffle), which a `Window.partitionBy(key)` + row_number never gets. At
+10^10 events with hot repos, partial aggregation collapses each hot key to
+one row per map task *before* the shuffle — the single most important
+scale property of this stage. The window variant is kept for parity tests.
+
+Skew: partial agg already defuses most hot-key pressure; for adversarial
+skew (one key dominating a whole stage), ``dedup_latest_salted`` does an
+explicit two-phase reduction over (key, salt) then (key) — SURVEY.md §4
+item 2.
+
+Tie-break: LSNs are unique by contract; if a tie ever appears (duplicate
+delivery of the same LSN) the ordering key struct(lsn, ts, op) makes the
+winner deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_key():
+    return F.struct(F.col("lsn"), F.col("ts"), F.col("op"))
+
+
+def dedup_latest(events: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Last-writer-wins per key via max_by (partial-agg friendly)."""
+    payload_cols = [c for c in events.columns if c not in key_cols]
+    agg = events.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload_cols]), _order_key()).alias("_w")
+    )
+    return agg.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
+
+
+def dedup_latest_salted(
+    events: DataFrame, key_cols: list[str], num_salts: int = 16
+) -> DataFrame:
+    """Two-phase salted reduction for adversarial key skew.
+
+    Phase 1 groups by (key, salt) — hot keys split across ``num_salts``
+    reducers; phase 2 reduces the ≤num_salts survivors per key. Salt is
+    derived from the LSN (deterministic, partitioning-independent)."""
+    payload_cols = [c for c in events.columns if c not in key_cols]
+    salted = events.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(num_salts)))
+    p1 = salted.groupBy(*key_cols, "_salt").agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols]), _order_key()
+        ).alias("_w")
+    )
+    p2 = p1.groupBy(*key_cols).agg(
+        F.max_by(F.col("_w"), F.struct("_w.lsn", "_w.ts", "_w.op")).alias("_w")
+    )
+    return p2.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
+
+
+def dedup_latest_window(events: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Window row_number variant (parity check; not the hot path — no
+    map-side partial aggregation)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("lsn").desc(), F.col("ts").desc(), F.col("op").desc()
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

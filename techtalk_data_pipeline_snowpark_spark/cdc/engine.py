@@ -1,0 +1,274 @@
+"""CdcEngine — change-event replay with exactly-once epochs.
+
+The Spark-native re-expression of the reference's stream-consume +
+MERGE-in-transaction pattern (IngestOrdersFromRawToFlat.scala:63-98 via
+executeInTransaction, SnowflakeUtils.scala:68-81): an *epoch* is a half-open
+LSN range ``(last_applied, last_applied + step]``; its events are
+
+    sliced → schema-reconciled → vectorized-transformed (pandas/Arrow UDFs)
+    → max-LSN deduped → MERGE'd into the lake table
+
+and the epoch manifest (epoch id, LSN range, per-bucket offsets, lineage,
+merge metrics) is committed **in the same atomic log entry as the data** —
+that single commit is the transaction. Replaying an epoch that is already
+recorded is a no-op (the LSN slice filter returns nothing), so duplicate
+delivery and crash-resume are both safe: exactly-once *effects*.
+
+Scale notes:
+- the epoch slice filter (`lsn > a AND lsn <= b`) is a plain predicate →
+  pushed into the parquet/lake scan of the event log (PushedFilters).
+- dedup uses max_by partial aggregation (see cdc/dedup.py) — hot repos are
+  collapsed map-side; `salted=True` adds an explicit two-phase reduction.
+- MERGE rewrites only the buckets the epoch touches (lake/merge.py).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import (
+    canonicalize_content,
+    canonicalize_content_sql,
+    normalize_lang,
+    normalize_lang_sql,
+    sha256_hex,
+    sha256_hex_pandas,
+)
+from ..lake import LakeTable, bucket_expr, merge_into
+from .dedup import dedup_latest, dedup_latest_salted
+from .schema_evolution import reconcile
+
+ENGINE_COLS = {"op"}
+PROP_LAST_LSN = "cdc.last_lsn"
+PROP_EPOCH_ID = "cdc.epoch_id"
+
+
+@dataclass
+class EpochResult:
+    epoch_id: int
+    lsn_from: int
+    lsn_to: int
+    events: int
+    rows_inserted: int
+    rows_updated: int
+    rows_deleted: int
+    skipped: bool = False
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_root: str,
+        key_cols: tuple[str, ...] = ("repo", "path"),
+        num_buckets: int = 32,
+        salted: bool = False,
+        num_salts: int = 16,
+        use_pandas_udfs: bool = True,
+    ):
+        self.spark = spark
+        self.table_root = table_root
+        self.key_cols = list(key_cols)
+        self.num_buckets = num_buckets
+        self.salted = salted
+        self.num_salts = num_salts
+        self.use_pandas_udfs = use_pandas_udfs
+
+    # ------------------------------------------------------------- state
+    def table(self) -> LakeTable:
+        return LakeTable(self.spark, self.table_root)
+
+    def table_exists(self) -> bool:
+        return self.table().exists()
+
+    def last_lsn(self) -> int:
+        if not self.table_exists():
+            return 0
+        return int(self.table().snapshot().properties.get(PROP_LAST_LSN, 0))
+
+    def last_epoch_id(self) -> int:
+        if not self.table_exists():
+            return 0
+        return int(self.table().snapshot().properties.get(PROP_EPOCH_ID, 0))
+
+    # --------------------------------------------------------- transforms
+    def _target_schema(self, events_schema: T.StructType) -> T.StructType:
+        payload = [f for f in events_schema.fields if f.name not in ENGINE_COLS]
+        fields = [T.StructField(f.name, f.dataType, True) for f in payload]
+        fields.append(T.StructField("content_sha256", T.StringType(), True))
+        return T.StructType(fields)
+
+    def _transform(self, events: DataFrame) -> DataFrame:
+        """Vectorized row transforms (north_star): lang normalization,
+        content canonicalization, sha256 — pandas/Arrow UDFs by default,
+        JVM expressions when use_pandas_udfs=False (bit-identical output,
+        tested)."""
+        is_del = F.col("op") == "delete"
+        if self.use_pandas_udfs:
+            lang = normalize_lang(F.col("lang"))
+            content = canonicalize_content(F.col("content"))
+        else:
+            lang = normalize_lang_sql(F.col("lang"))
+            content = canonicalize_content_sql(F.col("content"))
+        out = events.withColumn(
+            "lang", F.when(is_del, F.lit(None)).otherwise(lang)
+        ).withColumn("content", F.when(is_del, F.lit(None)).otherwise(content))
+        sha = (
+            sha256_hex_pandas(F.col("content"))
+            if self.use_pandas_udfs
+            else sha256_hex(F.col("content"))
+        )
+        return out.withColumn(
+            "content_sha256", F.when(is_del, F.lit(None)).otherwise(sha)
+        )
+
+    # ------------------------------------------------------------- epochs
+    def apply_epoch(
+        self,
+        events: DataFrame,
+        lsn_from: int,
+        lsn_to: int,
+        lineage: dict | None = None,
+    ) -> EpochResult:
+        """Apply the epoch ``(lsn_from, lsn_to]``. Idempotent: if the table
+        already recorded lsn >= lsn_to, the epoch is skipped outright."""
+        epoch_id = self.last_epoch_id() + 1
+        applied = self.last_lsn()
+        if applied >= lsn_to:
+            return EpochResult(epoch_id - 1, lsn_from, lsn_to, 0, 0, 0, 0, skipped=True)
+        lsn_from = max(lsn_from, applied)
+
+        sliced = events.where((F.col("lsn") > lsn_from) & (F.col("lsn") <= lsn_to))
+
+        # schema reconciliation BEFORE transforms (hard part c)
+        batch_target_schema = self._target_schema(sliced.schema)
+        if self.table_exists():
+            table = self.table()
+            evolved, added, widened = reconcile(
+                table.snapshot().schema, batch_target_schema
+            )
+        else:
+            table = LakeTable.create(
+                self.spark,
+                self.table_root,
+                batch_target_schema,
+                key_cols=self.key_cols,
+                num_buckets=self.num_buckets,
+            )
+            evolved, added, widened = batch_target_schema, [], []
+
+        transformed = self._transform(sliced)
+        dedup = (
+            dedup_latest_salted(transformed, self.key_cols, self.num_salts)
+            if self.salted
+            else dedup_latest(transformed, self.key_cols)
+        )
+        # cache: reused by offsets/metrics aggregation AND the merge join;
+        # the epoch slice is bounded (≪ table size) so this is safe.
+        dedup = dedup.localCheckpoint(eager=False)
+
+        stats = dedup.groupBy(
+            bucket_expr(self.key_cols, self.num_buckets).alias("_b")
+        ).agg(F.max("lsn").alias("max_lsn"), F.count(F.lit(1)).alias("n"))
+        stat_rows = stats.collect()
+        n_events = int(sum(r["n"] for r in stat_rows))
+        partition_offsets = {str(r["_b"]): int(r["max_lsn"]) for r in stat_rows}
+
+        if n_events == 0:
+            res = table.commit_rewrite(
+                [], [], "cdc-epoch",
+                properties={
+                    PROP_LAST_LSN: lsn_to, PROP_EPOCH_ID: epoch_id,
+                    "cdc.manifest": json.dumps(
+                        {"epoch_id": epoch_id, "lsn_from": lsn_from, "lsn_to": lsn_to,
+                         "partition_offsets": {}, "lineage": lineage or {},
+                         "committed_at": time.time()}
+                    ),
+                },
+                summary={"rows_inserted": 0, "rows_updated": 0, "rows_deleted": 0},
+            )
+            return EpochResult(epoch_id, lsn_from, lsn_to, 0, 0, 0, 0)
+
+        if added or widened:
+            table.commit_rewrite(
+                [], [], "evolve-schema", schema=evolved,
+                properties={"cdc.schema_added": json.dumps(added),
+                            "cdc.schema_widened": json.dumps(widened)},
+            )
+
+        manifest = {
+            "epoch_id": epoch_id,
+            "lsn_from": lsn_from,
+            "lsn_to": lsn_to,
+            "partition_offsets": partition_offsets,
+            "lineage": lineage or {},
+            "committed_at": time.time(),
+        }
+        res = merge_into(
+            table,
+            dedup,
+            on=self.key_cols,
+            when_matched_update="all",
+            when_matched_delete=F.col("s.op") == "delete",
+            when_not_matched_insert=True,
+            properties={
+                PROP_LAST_LSN: lsn_to,
+                PROP_EPOCH_ID: epoch_id,
+                "cdc.manifest": json.dumps(manifest),
+            },
+        )
+        return EpochResult(
+            epoch_id, lsn_from, lsn_to, n_events,
+            res.summary["rows_inserted"], res.summary["rows_updated"],
+            res.summary["rows_deleted"],
+        )
+
+    def replay(
+        self,
+        events: DataFrame,
+        max_lsn: int | None = None,
+        epoch_size: int = 1_000_000,
+        lineage: dict | None = None,
+    ) -> list[EpochResult]:
+        """Replay the whole event log in epochs; resumes from the last
+        committed epoch automatically (reads the manifest — SURVEY.md §4
+        item 4)."""
+        if max_lsn is None:
+            max_lsn = events.agg(F.max("lsn")).first()[0] or 0
+        results = []
+        cur = self.last_lsn()
+        while cur < max_lsn:
+            hi = min(cur + epoch_size, max_lsn)
+            results.append(self.apply_epoch(events, cur, hi, lineage=lineage))
+            cur = hi
+        return results
+
+    # ------------------------------------------------------------- source
+    def read_state(self) -> DataFrame:
+        return self.table().read()
+
+    def manifests(self) -> list[dict]:
+        out = []
+        for e in self.table().log_entries():
+            m = e.get("properties", {}).get("cdc.manifest")
+            if m:
+                d = json.loads(m)
+                d["summary"] = e.get("summary", {})
+                out.append(d)
+        return out
+
+
+def merge_projected_update_row(schema: T.StructType, source_cols: set[str]):
+    """Columns absent from a batch keep their target value on update —
+    used when schema evolution adds columns mid-stream."""
+    return {
+        f.name: F.coalesce(F.col(f"s.{f.name}"), F.col(f"t.{f.name}"))
+        for f in schema.fields
+        if f.name in source_cols
+    }

@@ -1,0 +1,84 @@
+"""Metadata-driven schema reconciliation before each merge-apply
+(north_star: "schema evolution (column add/widen) handled by a
+metadata-driven reconciliation pass before each merge-apply").
+
+Compares the incoming batch schema against the table schema and computes
+the evolved table schema:
+
+- column in batch but not table  → ADD COLUMN (old files read as null)
+- batch type wider than table    → widen (int→long, float→double,
+  int→double); old parquet files upcast on read (verified in test_lake)
+- batch type narrower than table → batch is cast up at merge time
+- incompatible change            → SchemaEvolutionError
+
+Runs BEFORE any vectorized transform so pandas UDFs never see a schema that
+is about to shift under them (SURVEY.md §6 hard part c).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+_WIDENING: dict[tuple[str, str], str] = {
+    ("integer", "long"): "long",
+    ("short", "integer"): "integer",
+    ("short", "long"): "long",
+    ("byte", "short"): "short",
+    ("byte", "integer"): "integer",
+    ("byte", "long"): "long",
+    ("float", "double"): "double",
+    ("integer", "double"): "double",
+    ("long", "double"): "double",
+    ("date", "timestamp"): "timestamp",
+}
+
+
+class SchemaEvolutionError(ValueError):
+    pass
+
+
+def _widened(table_t: T.DataType, batch_t: T.DataType) -> T.DataType | None:
+    """Widest of the two if convertible, else None."""
+    if table_t == batch_t:
+        return table_t
+    a, b = table_t.typeName(), batch_t.typeName()
+    if (a, b) in _WIDENING:
+        return batch_t
+    if (b, a) in _WIDENING:
+        return table_t
+    return None
+
+
+def reconcile(
+    table_schema: T.StructType,
+    batch_schema: T.StructType,
+    engine_cols: set[str] | None = None,
+) -> tuple[T.StructType, list[str], list[tuple[str, str, str]]]:
+    """Return (evolved_schema, added_cols, widened [(col, old, new)]).
+
+    Column matching is case-insensitive (reference `get_ignore_case`
+    semantics); the table's existing casing wins.
+    """
+    engine_cols = engine_cols or set()
+    by_lower = {f.name.lower(): f for f in table_schema.fields}
+    added: list[str] = []
+    widened: list[tuple[str, str, str]] = []
+    out_fields = {f.name: f for f in table_schema.fields}
+    for bf in batch_schema.fields:
+        if bf.name.lower() in {c.lower() for c in engine_cols}:
+            continue
+        tf = by_lower.get(bf.name.lower())
+        if tf is None:
+            out_fields[bf.name] = T.StructField(bf.name, bf.dataType, True)
+            added.append(bf.name)
+            continue
+        new_t = _widened(tf.dataType, bf.dataType)
+        if new_t is None:
+            raise SchemaEvolutionError(
+                f"incompatible type change for column {tf.name}: "
+                f"{tf.dataType.simpleString()} vs {bf.dataType.simpleString()}"
+            )
+        if new_t != tf.dataType:
+            widened.append((tf.name, tf.dataType.simpleString(), new_t.simpleString()))
+            out_fields[tf.name] = T.StructField(tf.name, new_t, True)
+    return T.StructType(list(out_fields.values())), added, widened

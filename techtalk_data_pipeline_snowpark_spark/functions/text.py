@@ -1,0 +1,162 @@
+"""Vectorized row transforms — pandas/Arrow UDFs, zero per-row Python.
+
+BASELINE.json north_star: "Row transforms (lang detection normalization,
+content canonicalization) run as vectorized pandas/Arrow UDFs with zero
+per-row Python". Everything here operates on whole pandas Series with
+vectorized str/numpy ops; data crosses JVM↔Python as Arrow batches.
+
+Where a pure-JVM built-in exists (sha256 → F.sha2) the built-in is the hot
+path and the pandas UDF is kept only for parity testing.
+
+Also: text-analysis operators for training-data pipelines — language ID
+(stopword n-gram heuristic), quality scoring, token counting, document
+fingerprinting — expressed JVM-side where possible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# --------------------------------------------------------------- sha256
+
+def sha256_hex(col: Column | str) -> Column:
+    """Per-row content invariant hash — JVM-side (whole-stage codegen)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.sha2(c.cast("string"), 256))
+
+
+@pandas_udf(T.StringType())
+def sha256_hex_pandas(s: pd.Series) -> pd.Series:
+    """Arrow-batched parity implementation (tested equal to sha256_hex)."""
+    return s.fillna("").map(lambda x: hashlib.sha256(x.encode("utf-8")).hexdigest())
+
+
+# ----------------------------------------------- language normalization
+
+_LANG_ALIASES = {
+    "py": "python", "py3": "python", "python3": "python", "python": "python",
+    "scala": "scala", "sc": "scala",
+    "java": "java",
+    "go": "go", "golang": "go",
+    "rust": "rust", "rs": "rust",
+    "markdown": "markdown", "md": "markdown", "mdown": "markdown",
+    "unknown": "unknown",
+}
+
+
+@pandas_udf(T.StringType())
+def normalize_lang(s: pd.Series) -> pd.Series:
+    """Messy lang labels ('Python', 'PY3', 'Golang') → canonical set.
+
+    Vectorized: lower-case + dict map, fallback 'unknown'. (The reference has
+    no lang column; this is the north_star's lang-detection normalization.)
+    """
+    return s.fillna("").str.strip().str.lower().map(_LANG_ALIASES).fillna("unknown")
+
+
+def normalize_lang_sql(col: Column | str) -> Column:
+    """JVM-side equivalent of normalize_lang (for oracle-parity paths)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(F.trim(c))
+    expr = F.lit("unknown")
+    for k, v in _LANG_ALIASES.items():
+        expr = F.when(lowered == k, v).otherwise(expr)
+    return expr
+
+
+# ----------------------------------------------- content canonicalization
+
+@pandas_udf(T.StringType())
+def canonicalize_content(s: pd.Series) -> pd.Series:
+    """Canonical source text: CRLF→LF, strip trailing whitespace per line,
+    exactly one trailing newline. Vectorized pandas str ops."""
+    out = (
+        s.fillna("")
+        .str.replace("\r\n", "\n", regex=False)
+        .str.replace("\r", "\n", regex=False)
+        .str.replace(r"[ \t]+\n", "\n", regex=True)
+        .str.replace(r"[ \t\n]+$", "", regex=True)
+    )
+    return out + "\n"
+
+
+def canonicalize_content_sql(col: Column | str) -> Column:
+    """JVM-side equivalent of canonicalize_content."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_replace(F.regexp_replace(c, "\r\n", "\n"), "\r", "\n")
+    x = F.regexp_replace(x, "[ \t]+\n", "\n")
+    x = F.regexp_replace(x, "[ \t\n]+$", "")
+    return F.concat(x, F.lit("\n"))
+
+
+# --------------------------------------------------------- text analysis
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).alias("token_count")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: split on word/number/punct boundaries."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(toks)
+
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "los", "por", "con"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "est", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "in", "den", "von", "zu", "mit", "ein", "auf"],
+}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax stopword hit-count per language.
+
+    JVM-side: tokenize once, intersect with each language's stopword list,
+    pick the language with the most hits ('unknown' when zero). At 100 TB
+    this is a pure map-side expression — no shuffle, no Python.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias(lang)
+        for lang, ws in _STOPWORDS.items()
+    ]
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in zip(_STOPWORDS, scores)]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite text-quality score in [0,1]: length band, alpha ratio,
+    punctuation ratio, mean word length band. JVM-side expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^\.,;:!\?]", "")).cast("double")
+    words = F.size(F.split(F.trim(c), r"\s+")).cast("double")
+    len_band = F.when((n >= 64) & (n <= 100000), 1.0).otherwise(0.5)
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(0.0)
+    punct_pen = F.when(n > 0, 1.0 - F.least(punct / n * 5, F.lit(1.0))).otherwise(0.0)
+    mwl = F.when(words > 0, (n / words)).otherwise(0.0)
+    mwl_band = F.when((mwl >= 3) & (mwl <= 12), 1.0).otherwise(0.5)
+    return (len_band * 0.25 + alpha_ratio * 0.35 + punct_pen * 0.2 + mwl_band * 0.2)
+
+
+def doc_fingerprint(col: Column | str, num_bits: int = 64) -> Column:
+    """Document fingerprint: xxhash64 of canonicalized text (rolling-hash
+    stand-in; stable JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(canonicalize_content_sql(c))

@@ -1,0 +1,171 @@
+"""End-to-end CDC replay vs pandas oracle (SURVEY.md §5 items 2-4, 6):
+final-state equality incl. per-row sha256(content), exactly-once resume,
+duplicate delivery, schema evolution, salted-vs-plain parity."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from techtalk_data_pipeline_snowpark_spark.cdc import CdcEngine, dedup_latest, dedup_latest_salted, dedup_latest_window
+from techtalk_data_pipeline_snowpark_spark.fixtures.generators import (
+    change_events,
+    change_events_evolution,
+)
+
+from oracle import replay_oracle
+
+N = 3000
+
+
+def _final_state_pdf(engine):
+    pdf = engine.read_state().toPandas()
+    return pdf.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def _oracle_pdf(events_pdf, extra_cols=()):
+    out = replay_oracle(events_pdf)
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def _assert_state_equal(engine_pdf, oracle_pdf):
+    assert len(engine_pdf) == len(oracle_pdf)
+    cols = [c for c in oracle_pdf.columns]
+    e = engine_pdf[cols].reset_index(drop=True)
+    o = oracle_pdf[cols].reset_index(drop=True)
+    for c in cols:
+        ev, ov = e[c], o[c]
+        if ev.dtype != object and ov.dtype != object:
+            pd.testing.assert_series_equal(ev, ov.astype(ev.dtype), check_names=False)
+        else:
+            assert ev.fillna("∅").tolist() == ov.fillna("∅").tolist(), f"column {c} differs"
+
+
+def test_replay_matches_oracle(spark, tmp_path):
+    ev = change_events(spark, N, n_repos=20, paths_per_repo=15, seed=7)
+    engine = CdcEngine(spark, str(tmp_path / "t"), num_buckets=8)
+    results = engine.replay(ev, epoch_size=1000)
+    assert len(results) == 3
+    state = _final_state_pdf(engine)
+    oracle = _oracle_pdf(ev.toPandas())
+    _assert_state_equal(state, oracle)
+    # sha256(content) invariant asserted per row
+    assert state["content_sha256"].notna().all()
+
+
+def test_replay_single_epoch_equals_many(spark, tmp_path):
+    ev = change_events(spark, N, n_repos=20, paths_per_repo=15, seed=7)
+    e1 = CdcEngine(spark, str(tmp_path / "one"), num_buckets=8)
+    e1.replay(ev, epoch_size=10**9)
+    e2 = CdcEngine(spark, str(tmp_path / "many"), num_buckets=8)
+    e2.replay(ev, epoch_size=500)
+    _assert_state_equal(_final_state_pdf(e1), _final_state_pdf(e2))
+
+
+def test_exactly_once_reapply_is_noop(spark, tmp_path):
+    ev = change_events(spark, 1000, seed=3)
+    engine = CdcEngine(spark, str(tmp_path / "t"), num_buckets=4)
+    engine.replay(ev, epoch_size=400)
+    v = engine.table().latest_version()
+    state_before = _final_state_pdf(engine)
+    # re-apply already-committed epochs → skipped, no new data commits
+    res = engine.replay(ev, epoch_size=400)
+    assert res == []
+    r = engine.apply_epoch(ev, 0, 1000)
+    assert r.skipped
+    _assert_state_equal(_final_state_pdf(engine), state_before)
+
+
+def test_resume_mid_replay(spark, tmp_path):
+    """Kill mid-replay: apply half the epochs, then 'resume' with a fresh
+    engine object — replay continues from the manifest."""
+    ev = change_events(spark, 2000, seed=11)
+    root = str(tmp_path / "t")
+    e1 = CdcEngine(spark, root, num_buckets=4)
+    e1.apply_epoch(ev, 0, 700)
+    e1.apply_epoch(ev, 700, 1400)
+    # crash → new process
+    e2 = CdcEngine(spark, root, num_buckets=4)
+    assert e2.last_lsn() == 1400
+    results = e2.replay(ev, epoch_size=700)
+    assert [r.lsn_to for r in results] == [2000]
+    _assert_state_equal(_final_state_pdf(e2), _oracle_pdf(ev.toPandas()))
+    # manifests carry per-bucket offsets and lineage
+    ms = e2.manifests()
+    assert len(ms) == 3
+    assert all("partition_offsets" in m for m in ms)
+    assert ms[-1]["lsn_to"] == 2000
+
+
+def test_duplicate_delivery(spark, tmp_path):
+    ev = change_events(spark, 1500, seed=5, dup_delivery_rate=0.2)
+    engine = CdcEngine(spark, str(tmp_path / "t"), num_buckets=4)
+    engine.replay(ev, epoch_size=500)
+    base = change_events(spark, 1500, seed=5)  # without duplicates
+    _assert_state_equal(_final_state_pdf(engine), _oracle_pdf(base.toPandas()))
+
+
+def test_salted_equals_plain(spark, tmp_path):
+    ev = change_events(spark, 2000, n_repos=3, paths_per_repo=4, zipf_s=2.0, seed=13)
+    plain = CdcEngine(spark, str(tmp_path / "p"), num_buckets=4, salted=False)
+    plain.replay(ev, epoch_size=10**9)
+    salted = CdcEngine(spark, str(tmp_path / "s"), num_buckets=4, salted=True, num_salts=8)
+    salted.replay(ev, epoch_size=10**9)
+    _assert_state_equal(_final_state_pdf(plain), _final_state_pdf(salted))
+
+
+def test_dedup_variants_agree(spark):
+    ev = change_events(spark, 2000, n_repos=5, paths_per_repo=5, seed=17)
+    a = dedup_latest(ev, ["repo", "path"]).orderBy("repo", "path").collect()
+    b = dedup_latest_salted(ev, ["repo", "path"], 8).orderBy("repo", "path").collect()
+    c = dedup_latest_window(ev, ["repo", "path"]).select(*[f.name for f in dedup_latest(ev, ["repo", "path"]).schema]).orderBy("repo", "path").collect()
+    assert [r.lsn for r in a] == [r.lsn for r in b] == [r.lsn for r in c]
+
+
+def test_dedup_tie_break_deterministic(spark):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (5, "insert", "r", "p", t0),
+        (5, "update", "r", "p", t0),  # LSN tie → op desc wins: 'update'
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = dedup_latest(df, ["repo", "path"]).collect()[0]
+    assert got.op == "update"
+    got_w = dedup_latest_window(df, ["repo", "path"]).collect()[0]
+    assert got_w.op == "update"
+
+
+def test_schema_evolution_add_and_widen(spark, tmp_path):
+    p1, p2 = change_events_evolution(spark, 1200, marker_frac=0.5, seed=23,
+                                     n_repos=10, paths_per_repo=10)
+    engine = CdcEngine(spark, str(tmp_path / "t"), num_buckets=4)
+    engine.replay(p1, epoch_size=10**9)
+    assert dict(engine.read_state().dtypes)["size"] == "int"
+    engine.replay(p2, epoch_size=10**9)
+    dt = dict(engine.read_state().dtypes)
+    assert dt["size"] == "bigint"
+    assert "license" in dt
+    # oracle over the concatenated log (phase-1 rows have no license → null)
+    ev_all = pd.concat([p1.toPandas(), p2.toPandas()], ignore_index=True)
+    oracle = _oracle_pdf(ev_all)
+    state = _final_state_pdf(engine)
+    # rows surviving from phase 1 keep null license; phase 2 rows carry one
+    _assert_state_equal(state, oracle)
+    p2_keys = {(r.repo, r.path) for r in p2.where("op != 'delete'").select("repo", "path").distinct().collect()}
+    with_license = state[state.license.notna()]
+    assert len(with_license) > 0
+    assert all((r.repo, r.path) in p2_keys for r in with_license.itertuples())
