@@ -101,7 +101,8 @@ class CdcEngine:
     def _target_schema(self, events_schema: T.StructType) -> T.StructType:
         payload = [f for f in events_schema.fields if f.name not in ENGINE_COLS]
         fields = [T.StructField(f.name, f.dataType, True) for f in payload]
-        fields.append(T.StructField("content_sha256", T.StringType(), True))
+        if "content" in {f.name for f in payload}:
+            fields.append(T.StructField("content_sha256", T.StringType(), True))
         return T.StructType(fields)
 
     def _transform(self, events: DataFrame) -> DataFrame:
@@ -110,23 +111,33 @@ class CdcEngine:
         JVM expressions when use_pandas_udfs=False (bit-identical output,
         tested)."""
         is_del = F.col("op") == "delete"
-        if self.use_pandas_udfs:
-            lang = normalize_lang(F.col("lang"))
-            content = canonicalize_content(F.col("content"))
-        else:
-            lang = normalize_lang_sql(F.col("lang"))
-            content = canonicalize_content_sql(F.col("content"))
-        out = events.withColumn(
-            "lang", F.when(is_del, F.lit(None)).otherwise(lang)
-        ).withColumn("content", F.when(is_del, F.lit(None)).otherwise(content))
-        sha = (
-            sha256_hex_pandas(F.col("content"))
-            if self.use_pandas_udfs
-            else sha256_hex(F.col("content"))
-        )
-        return out.withColumn(
-            "content_sha256", F.when(is_del, F.lit(None)).otherwise(sha)
-        )
+        cols = set(events.columns)
+        out = events
+        if "lang" in cols:
+            lang = (
+                normalize_lang(F.col("lang"))
+                if self.use_pandas_udfs
+                else normalize_lang_sql(F.col("lang"))
+            )
+            out = out.withColumn("lang", F.when(is_del, F.lit(None)).otherwise(lang))
+        if "content" in cols:
+            content = (
+                canonicalize_content(F.col("content"))
+                if self.use_pandas_udfs
+                else canonicalize_content_sql(F.col("content"))
+            )
+            out = out.withColumn(
+                "content", F.when(is_del, F.lit(None)).otherwise(content)
+            )
+            sha = (
+                sha256_hex_pandas(F.col("content"))
+                if self.use_pandas_udfs
+                else sha256_hex(F.col("content"))
+            )
+            out = out.withColumn(
+                "content_sha256", F.when(is_del, F.lit(None)).otherwise(sha)
+            )
+        return out
 
     # ------------------------------------------------------------- epochs
     def apply_epoch(

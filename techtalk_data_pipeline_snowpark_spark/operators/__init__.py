@@ -1,0 +1,27 @@
+from .analytics import (
+    dq_order_paid_more_than_price,
+    paid_with_amex_rating_gt_50,
+    top_restaurants_last_30_days,
+)
+from .dedup import (
+    char_ngrams,
+    cosine,
+    embedding_near_dups,
+    embedding_near_dups_brute,
+    exact_dedup,
+    exact_dedup_apply,
+    minhash_lsh_candidates,
+    minhash_near_dups,
+    minhash_signature,
+    ngram_jaccard,
+    simhash64,
+    simhash_candidates,
+    word_shingles,
+)
+from .ingest import ingest_raw_to_flat, land_raw, overwrite_from_files
+from .multimodal import (
+    extract_image_features,
+    sample_video_frames,
+    synthesize_media,
+)
+from .similarity import assign_ivf_cells, cosine_topk_brute, cosine_topk_ivf

@@ -1,0 +1,309 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact + near-duplicate detection, all expressed Spark-first:
+
+- exact:    sha256 hash-groupBy (one shuffle on the digest)
+- minhash:  shingles → K minhashes (JVM array exprs, no Python) → LSH
+            banding → bucket join → verified Jaccard
+- simhash:  token explode → 64 bit-plane sums → sign bits → block banding
+- n-gram Jaccard: exact verified similarity for candidate pairs
+- embedding near-dup: cosine over `array<float>` via zip_with/aggregate
+
+Scale posture: every operator keys its shuffle on a digest/bucket (uniform
+by construction — no skew), verifies candidates only within buckets
+(never all-pairs), and stays inside whole-stage codegen except where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import sha256_hex
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact content hash; report
+    group size. Single shuffle keyed by the uniform sha256 digest."""
+    h = sha256_hex(F.col(text_col))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup_apply(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Return df with duplicates removed (representative row kept)."""
+    reps = exact_dedup(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(reps, on=id_col, how="inner")
+
+
+# --------------------------------------------------------------- shingles
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles (distinct), pure JVM expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(c)
+    ln = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """K minhashes: min over shingles of xxhash64(shingle, seed_i).
+    K transforms over the shingle array — JVM-side, no UDF."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding.
+
+    rows-per-band r = num_hashes/bands; docs sharing any band hash become a
+    candidate pair. The band hash is uniform → the bucket-join shuffle has
+    no skew. Output: (a, b) id pairs with a < b, distinct.
+    """
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(word_shingles(text_col, shingle_k), num_hashes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("_sig", b * r + j + 1) for j in range(r)])
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """Verified Jaccard similarity for candidate pairs: join shingle sets
+    back to both sides, intersect/union JVM-side."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, shingle_k).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("b"), F.col("_sh").alias("sh_b"))
+    joined = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "a", "b", F.when(union > 0, inter / union).otherwise(0.0).alias("jaccard")
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full pipeline: LSH candidates → verified Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_k)
+    verified = ngram_jaccard(df, cands, id_col, text_col, shingle_k)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document.
+
+    explode tokens → hash → 64 bit-plane sums (+1/-1) in ONE wide hash
+    aggregation (partial map-side combine applies) → sign bits packed into
+    a long. No Python in the plan.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
+    ).withColumn("_h", F.xxhash64("_tok"))
+    sums = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(64)
+        ]
+    )
+    packed = sums.select(
+        "_id",
+        sum(
+            [
+                F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)))
+                .otherwise(0)
+                .cast("long")
+                for i in range(64)
+            ]
+        ).alias("simhash"),
+    )
+    return packed.withColumnRenamed("_id", id_col)
+
+
+def simhash_candidates(sim: DataFrame, id_col: str, blocks: int = 4) -> DataFrame:
+    """Hamming-≤k candidates: split the 64 bits into ``blocks`` 16-bit
+    blocks; pairs sharing any block are candidates (pigeonhole: hamming
+    distance < blocks ⇒ some block equal)."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    parts = sim.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("p"),
+    ).select("_id", "p.blk", "p.bits")
+    l, r = parts.alias("l"), parts.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def embedding_near_dups(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, num_planes: int = 12
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Scale path: random-hyperplane LSH bucket (num_planes sign bits, seeded
+    deterministic planes via xxhash of the dimension index — no driver
+    state), verify cosine only within buckets. Pairs (a<b, cosine)."""
+    dim_planes = F.array(
+        *[
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                # deterministic pseudo-gaussian-ish plane component in [-1,1]
+                lambda d, p=p: (
+                    F.pmod(F.xxhash64(d.cast("string"), F.lit(f"plane{p}")), F.lit(2001)) - 1000
+                ).cast("double")
+                / 1000.0,
+            )
+            for p in range(num_planes)
+        ]
+    )
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.aggregate(
+            F.transform(
+                dim_planes,
+                lambda plane, i: F.when(_dot(plane, F.col(vec_col)) > 0, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit,
+        ).alias("_bucket"),
+    )
+    l, r = sigs.alias("l"), sigs.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id")),
+    ).select(
+        F.col("l._id").alias("a"),
+        F.col("r._id").alias("b"),
+        cosine(F.col("l._v"), F.col("r._v")).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold)
+
+
+def embedding_near_dups_brute(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Exact all-pairs baseline (test-scale oracle for the LSH path)."""
+    l = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    r = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        l.join(r, F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,113 @@
+"""Unit tests for Snowpark-semantics shims and vectorized text functions
+(SURVEY.md §5 item 1)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from techtalk_data_pipeline_snowpark_spark.functions import (
+    canonicalize_content,
+    canonicalize_content_sql,
+    get_ignore_case,
+    json_array_to_exploded_fields,
+    lang_id,
+    normalize_lang,
+    normalize_lang_sql,
+    quality_score,
+    sha256_hex,
+    sha256_hex_pandas,
+    substring1,
+    token_count,
+    union_dedup,
+)
+
+
+def test_substring1_zero_is_one_based(spark):
+    """Snowflake substring(col, 0, 2) == substring(col, 1, 2) — the
+    reference uses 0 (SampleStream.scala:49-54); off-by-one trap."""
+    df = spark.createDataFrame([("MILANO",)], ["s"])
+    a = df.select(substring1("s", 0, 2).alias("x")).first().x
+    b = df.select(substring1("s", 1, 2).alias("x")).first().x
+    assert a == b == "MI"
+
+
+def test_union_dedup_matches_sql_union(spark):
+    a = spark.createDataFrame([(1,), (2,)], ["x"])
+    b = spark.createDataFrame([(2,), (3,)], ["x"])
+    got = sorted(r.x for r in union_dedup(a, b).collect())
+    assert got == [1, 2, 3]  # Spark union alone would give [1,2,2,3]
+
+
+def test_get_ignore_case(spark):
+    df = spark.createDataFrame([('{"OrderCode": "AB12"}',), ('{"ordercode": "CD34"}',)], ["j"])
+    got = {r.x for r in df.select(get_ignore_case(F.col("j"), "orderCode").alias("x")).collect()}
+    assert got == {"AB12", "CD34"}
+
+
+def test_json_array_to_exploded_fields_case_insensitive(spark):
+    """Mixed-case field names in the payload (FIXTURES.md §2b) resolve to
+    the declared schema — get_ignore_case parity (Implicits.scala:18-23)."""
+    schema = T.StructType(
+        [
+            T.StructField("orderCode", T.StringType()),
+            T.StructField("totPrice", T.DoubleType()),
+        ]
+    )
+    payload = '[{"ORDERCODE": "A1", "totprice": "10.5"}, {"orderCode": "B2", "TotPrice": "3.25"}]'
+    df = spark.createDataFrame([(payload,)], ["response"])
+    rows = json_array_to_exploded_fields(df, schema, "response").orderBy("orderCode").collect()
+    assert [(r.orderCode, r.totPrice) for r in rows] == [("A1", 10.5), ("B2", 3.25)]
+
+
+def test_sha256_jvm_equals_pandas(spark):
+    df = spark.createDataFrame([("hello",), ("",), ("multi\nline",)], ["s"])
+    rows = df.select(
+        sha256_hex("s").alias("jvm"), sha256_hex_pandas(F.col("s")).alias("py")
+    ).collect()
+    for r in rows:
+        assert r.jvm == r.py
+
+
+def test_normalize_lang_pandas_equals_sql(spark):
+    vals = ["Python", "PY3", "Golang", "rs", " md ", "klingon", None]
+    df = spark.createDataFrame([(v,) for v in vals], ["lang"])
+    rows = df.select(
+        normalize_lang(F.col("lang")).alias("p"), normalize_lang_sql("lang").alias("s")
+    ).collect()
+    for r in rows:
+        assert r.p == r.s, (r.p, r.s)
+    assert rows[0].p == "python" and rows[2].p == "go" and rows[5].p == "unknown"
+
+
+def test_canonicalize_pandas_equals_sql(spark):
+    vals = ["a \r\nb\t\n", "x", "", "line1  \nline2\n\n\n"]
+    df = spark.createDataFrame([(v,) for v in vals], ["c"])
+    rows = df.select(
+        canonicalize_content(F.col("c")).alias("p"),
+        canonicalize_content_sql("c").alias("s"),
+    ).collect()
+    for r in rows:
+        assert r.p == r.s, (repr(r.p), repr(r.s))
+    assert rows[0].p == "a\nb\n"
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  ",), ("one",)], ["t"])
+    got = [r.n for r in df.select(token_count("t").alias("n")).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it is good for all of us",),
+            ("el perro y el gato en la casa de los abuelos es grande",),
+            ("zzz qqq xxx",),
+        ],
+        ["t"],
+    )
+    rows = df.select(lang_id("t").alias("l"), quality_score("t").alias("q")).collect()
+    assert rows[0].l == "en"
+    assert rows[1].l == "es"
+    assert rows[2].l == "unknown"
+    assert all(0.0 <= r.q <= 1.0 for r in rows)

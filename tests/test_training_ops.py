@@ -1,0 +1,139 @@
+"""Training-data operators: dedup suite, similarity search, multimodal
+plumbing — verified against brute-force / duckdb oracles at test scale."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from techtalk_data_pipeline_snowpark_spark.operators import (
+    cosine_topk_brute,
+    cosine_topk_ivf,
+    embedding_near_dups,
+    embedding_near_dups_brute,
+    exact_dedup,
+    exact_dedup_apply,
+    extract_image_features,
+    minhash_near_dups,
+    ngram_jaccard,
+    sample_video_frames,
+    simhash64,
+    simhash_candidates,
+    synthesize_media,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_counts(spark, docs):
+    agg = exact_dedup(docs, "text", "doc_id")
+    n_docs = docs.count()
+    assert agg.agg(F.sum("dup_count")).first()[0] == n_docs
+    kept = exact_dedup_apply(docs, "text", "doc_id")
+    assert kept.count() == agg.count()
+    # oracle: distinct texts
+    assert agg.count() == docs.select("text").distinct().count()
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    got = df.select(word_shingles("t", 3).alias("s")).first().s
+    assert sorted(got) == ["a b c", "b c d"]
+
+
+def test_minhash_near_dups_finds_planted_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different words entirely unrelated text " * 20
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base + " extra token")], ["doc_id", "text"]
+    )
+    got = minhash_near_dups(df, "doc_id", "text", threshold=0.7)
+    pairs = {(r.a, r.b) for r in got.collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "b c d e")], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2)], ["a", "b"])
+    j = ngram_jaccard(df, pairs, "doc_id", "text", shingle_k=2).first().jaccard
+    # shingles: {ab,bc,cd} vs {bc,cd,de} → 2/4
+    assert abs(j - 0.5) < 1e-9
+
+
+def test_simhash_near_duplicates_share_blocks(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    near = base.replace("dog", "cat", 2)
+    far = "totally different vocabulary set here entirely " * 30
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    sim = simhash64(df, "doc_id", "text")
+    cands = {(r.a, r.b) for r in simhash_candidates(sim, "doc_id").collect()}
+    assert (1, 2) in cands
+    assert (1, 3) not in cands
+
+
+def test_embedding_near_dups_lsh_superset_check(spark, emb):
+    """LSH near-dup pairs must be a subset of brute-force pairs at the same
+    threshold, with decent recall on this corpus."""
+    sub = emb.limit(200).cache()
+    brute = {(r.a, r.b) for r in embedding_near_dups_brute(sub, "vec_id", "embedding", 0.9).collect()}
+    lsh = {(r.a, r.b) for r in embedding_near_dups(sub, "vec_id", "embedding", 0.9, num_planes=6).collect()}
+    assert lsh <= brute
+    if brute:
+        assert len(lsh) / len(brute) >= 0.5
+
+
+def test_cosine_topk_brute_matches_duckdb(spark, emb, sf_dir):
+    queries = emb.where(F.col("vec_id") < 3)
+    got = cosine_topk_brute(emb, queries, k=5).collect()
+    con = duckdb.connect()
+    want = con.sql(
+        f"""
+        WITH e AS (SELECT * FROM '{sf_dir}/embeddings.parquet'),
+        s AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding, c.embedding) AS cos
+          FROM e q JOIN e c ON q.vec_id < 3 AND c.vec_id != q.vec_id
+        )
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rn
+          FROM s) WHERE rn <= 5
+        """
+    ).fetchall()
+    assert {(r.query_id, r.neighbor_id) for r in got} == set(want)
+
+
+def test_cosine_topk_ivf_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk_brute(emb, queries, k=5)
+    # 3 planes → 8 cells; probing 4 of them covers ~half the corpus, which
+    # bounds recall from below even on unclustered embeddings.
+    approx = cosine_topk_ivf(emb, queries, k=5, num_planes=3, multiprobe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.35
+    # and every approx hit must be a real corpus row scored correctly
+    assert all(r.rank <= 5 for r in approx.collect())
+
+
+def test_multimodal_stub_plumbing(spark):
+    media = synthesize_media(spark, 60)
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert all(len(r.feature) == 64 for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+    n_images = media.where("kind = 'image'").count()
+    assert len(rows) == n_images
+    frames = sample_video_frames(media, every_n_bytes=64)
+    assert frames.count() > media.where("kind='video'").count()
+    with pytest.raises(NotImplementedError):
+        extract_image_features(media, decoder="real")
