@@ -46,12 +46,15 @@ def get_ignore_case(json_col: Column, field: str) -> Column:
 
     The reference parses payloads with ``parse_json`` then extracts fields
     case-insensitively (Implicits.scala:19). Spark's ``get_json_object`` is
-    case-sensitive, so we probe the field under common casings via coalesce.
-    For full generality use ``json_array_to_exploded_fields`` which relies on
-    ``from_json``'s case-insensitive (by default) schema matching.
+    case-sensitive, so parse the object to map<string,string>, lower-case the
+    keys, and look up the lower-cased field — case-insensitive for arbitrary
+    source casing, all JVM-side expressions.
     """
-    variants = {field, field.lower(), field.upper(), field.capitalize()}
-    return F.coalesce(*[F.get_json_object(json_col, f"$.{v}") for v in variants])
+    parsed = F.from_json(json_col, T.MapType(T.StringType(), T.StringType()))
+    lowered = F.map_from_arrays(
+        F.transform(F.map_keys(parsed), lambda k: F.lower(k)), F.map_values(parsed)
+    )
+    return F.element_at(lowered, F.lit(field.lower()))
 
 
 def json_array_to_exploded_fields(
