@@ -1,0 +1,134 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: end-to-end CDC replay→merge throughput (change-events/sec) on a
+deterministic synthetic event log (zipf-skewed hot repos, salted dedup),
+plus per-query timings of the analytics/training-data operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  SPARK_GRAFT_EVENTS   CDC log size for the replay bench (default 2_000_000)
+  SPARK_GRAFT_EPOCHS   number of replay epochs (default 4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.ui.enabled", "false")
+        .appName("bench")
+        .getOrCreate()
+    )
+
+
+def bench_cdc_replay(spark, n_events: int, epochs: int, workdir: str) -> dict:
+    """Generate a skewed CDC log to parquet (excluded from the timed
+    section), then time the full replay→dedup→merge loop."""
+    from pyspark.sql import functions as F
+
+    from techtalk_data_pipeline_snowpark_spark.cdc import CdcEngine
+    from techtalk_data_pipeline_snowpark_spark.fixtures.generators import change_events
+
+    log_path = os.path.join(workdir, "events_log")
+    change_events(
+        spark, n_events, n_repos=200, paths_per_repo=5000, zipf_s=1.2, seed=42
+    ).write.mode("overwrite").parquet(log_path)
+    log = spark.read.parquet(log_path)
+    max_lsn = n_events
+
+    eng = CdcEngine(
+        spark,
+        os.path.join(workdir, "state"),
+        key_cols=("repo", "path"),
+        num_buckets=64,
+        salted=True,
+    )
+    t0 = time.time()
+    results = eng.replay(log, max_lsn=max_lsn, epoch_size=(max_lsn + epochs - 1) // epochs)
+    dt = time.time() - t0
+    n_rows = eng.read_state().count()
+    return {
+        "replay_sec": dt,
+        "events_per_sec": n_events / dt,
+        "epochs": len(results),
+        "final_rows": n_rows,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_EVENTS", "2000000"))
+    epochs = int(os.environ.get("SPARK_GRAFT_EPOCHS", "4"))
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    bench_queries = [
+        "q1_pricing_summary",
+        "dq_overpaid",
+        "three_way_join",
+        "top_customers_90d",
+        "latest_event_per_user",
+        "exact_dedup_docs",
+        "doc_fingerprint_docs",
+        "token_stats_docs",
+        "cosine_topk",
+        "minhash_near_dup_docs",
+        "simhash_docs",
+        "cdc_replay_events",
+    ]
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    workdir = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        cdc = bench_cdc_replay(spark, n_events, epochs, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    timings["cdc_replay_synthetic"] = round(cdc["replay_sec"], 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "end-to-end CDC replay→merge + analytics suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "extras": {
+            "cdc_events": n_events,
+            "cdc_epochs": cdc["epochs"],
+            "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
+            "cdc_final_rows": cdc["final_rows"],
+            "cpus": cpus,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

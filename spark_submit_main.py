@@ -1,0 +1,99 @@
+"""spark-submit entrypoint for the CDC replay engine.
+
+Packaged run (north_rule: "run via spark-submit --py-files on a
+multi-executor cluster"):
+
+    python scripts/package.py                       # → dist/engine.zip
+    spark-submit --py-files dist/engine.zip \
+        spark_submit_main.py \
+        --events /path/to/change_events_parquet \
+        --table  /path/to/lake_table \
+        --epochs 8 --salted
+
+On a cluster, pass ``--master yarn``/``k8s://…`` and executor conf to
+spark-submit; this script only builds the session via getOrCreate so all
+submit-time conf wins. Without --events, generates a deterministic
+synthetic log (--gen-events N) first.
+
+Prints one JSON line of metrics (events/sec, per-epoch manifests).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--events", help="parquet path of the change-event log")
+    p.add_argument("--gen-events", type=int, default=0,
+                   help="generate N synthetic events to --events first")
+    p.add_argument("--zipf", type=float, default=1.2, help="hot-repo skew for --gen-events")
+    p.add_argument("--table", required=True, help="lake table root (created if absent)")
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--max-lsn", type=int, default=None)
+    p.add_argument("--keys", default="repo,path")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--salted", action="store_true")
+    p.add_argument("--gen-only", action="store_true",
+                   help="generate the event log (--gen-events) and exit")
+    p.add_argument("--no-pandas-udfs", action="store_true",
+                   help="use JVM expressions instead of pandas UDFs for row transforms")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("cdc-replay").getOrCreate()
+
+    from techtalk_data_pipeline_snowpark_spark.cdc import CdcEngine
+    from techtalk_data_pipeline_snowpark_spark.fixtures.generators import change_events
+
+    if args.gen_events:
+        if not args.events:
+            p.error("--gen-events requires --events (output path)")
+        change_events(
+            spark, args.gen_events, n_repos=200, paths_per_repo=5000,
+            zipf_s=args.zipf, seed=42,
+        ).write.mode("overwrite").parquet(args.events)
+        if args.gen_only:
+            print(json.dumps({"generated": args.gen_events, "path": args.events}))
+            return 0
+
+    log = spark.read.parquet(args.events)
+    max_lsn = args.max_lsn or (log.agg(F.max("lsn")).first()[0] or 0)
+
+    eng = CdcEngine(
+        spark,
+        args.table,
+        key_cols=tuple(args.keys.split(",")),
+        num_buckets=args.buckets,
+        salted=args.salted,
+        use_pandas_udfs=not args.no_pandas_udfs,
+    )
+    t0 = time.time()
+    results = eng.replay(
+        log, max_lsn=max_lsn, epoch_size=(max_lsn + args.epochs - 1) // args.epochs
+    )
+    dt = time.time() - t0
+    n_events = sum(r.events for r in results)
+    print(json.dumps({
+        "replay_sec": round(dt, 3),
+        "lsn_range": max_lsn,
+        "deduped_events_merged": n_events,
+        "lsns_per_sec": round(max_lsn / dt, 1) if dt > 0 else None,
+        "epochs": [
+            {"epoch": r.epoch_id, "events": r.events, "ins": r.rows_inserted,
+             "upd": r.rows_updated, "del": r.rows_deleted, "skipped": r.skipped}
+            for r in results
+        ],
+        "final_rows": eng.read_state().count(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,10 +35,10 @@ from pyspark.sql import types as T
 from ..functions.text import (
     canonicalize_content,
     canonicalize_content_sql,
+    normalize_and_canonicalize,
     normalize_lang,
     normalize_lang_sql,
     sha256_hex,
-    sha256_hex_pandas,
 )
 from ..lake import LakeTable, bucket_expr, merge_into
 from .dedup import dedup_latest, dedup_latest_salted
@@ -109,33 +109,46 @@ class CdcEngine:
         """Vectorized row transforms (north_star): lang normalization,
         content canonicalization, sha256 — pandas/Arrow UDFs by default,
         JVM expressions when use_pandas_udfs=False (bit-identical output,
-        tested)."""
+        tested).
+
+        The two pandas transforms are FUSED into one struct-returning UDF
+        (one Arrow exchange instead of two — content strings dominate the
+        traffic). sha256 is always JVM-side (F.sha2, whole-stage codegen):
+        hashlib has no vectorized form, so a pandas sha UDF would be
+        per-row Python — exactly what the north_star forbids. Parity with
+        sha256_hex_pandas is unit-tested (test_functions.py)."""
         is_del = F.col("op") == "delete"
         cols = set(events.columns)
         out = events
-        if "lang" in cols:
-            lang = (
-                normalize_lang(F.col("lang"))
-                if self.use_pandas_udfs
-                else normalize_lang_sql(F.col("lang"))
-            )
-            out = out.withColumn("lang", F.when(is_del, F.lit(None)).otherwise(lang))
+        if self.use_pandas_udfs and "lang" in cols and "content" in cols:
+            packed = normalize_and_canonicalize(F.col("lang"), F.col("content"))
+            out = out.withColumn("_t", packed)
+            out = out.withColumn(
+                "lang", F.when(is_del, F.lit(None)).otherwise(F.col("_t.lang"))
+            ).withColumn(
+                "content", F.when(is_del, F.lit(None)).otherwise(F.col("_t.content"))
+            ).drop("_t")
+        else:
+            if "lang" in cols:
+                lang = (
+                    normalize_lang(F.col("lang"))
+                    if self.use_pandas_udfs
+                    else normalize_lang_sql(F.col("lang"))
+                )
+                out = out.withColumn("lang", F.when(is_del, F.lit(None)).otherwise(lang))
+            if "content" in cols:
+                content = (
+                    canonicalize_content(F.col("content"))
+                    if self.use_pandas_udfs
+                    else canonicalize_content_sql(F.col("content"))
+                )
+                out = out.withColumn(
+                    "content", F.when(is_del, F.lit(None)).otherwise(content)
+                )
         if "content" in cols:
-            content = (
-                canonicalize_content(F.col("content"))
-                if self.use_pandas_udfs
-                else canonicalize_content_sql(F.col("content"))
-            )
             out = out.withColumn(
-                "content", F.when(is_del, F.lit(None)).otherwise(content)
-            )
-            sha = (
-                sha256_hex_pandas(F.col("content"))
-                if self.use_pandas_udfs
-                else sha256_hex(F.col("content"))
-            )
-            out = out.withColumn(
-                "content_sha256", F.when(is_del, F.lit(None)).otherwise(sha)
+                "content_sha256",
+                F.when(is_del, F.lit(None)).otherwise(sha256_hex(F.col("content"))),
             )
         return out
 
@@ -174,12 +187,16 @@ class CdcEngine:
             )
             evolved, added, widened = batch_target_schema, [], []
 
-        transformed = self._transform(sliced)
-        dedup = (
-            dedup_latest_salted(transformed, self.key_cols, self.num_salts)
+        # Dedup BEFORE the row transforms: max-LSN winners are decided by
+        # (lsn, ts, op) alone, so canonicalization/lang-normalization of
+        # losing rows would be wasted Arrow traffic — at a 60/30/10 op mix
+        # this cuts pandas-UDF volume by the full dup factor of the epoch.
+        deduped_raw = (
+            dedup_latest_salted(sliced, self.key_cols, self.num_salts)
             if self.salted
-            else dedup_latest(transformed, self.key_cols)
+            else dedup_latest(sliced, self.key_cols)
         )
+        dedup = self._transform(deduped_raw)
         # cache: reused by offsets/metrics aggregation AND the merge join;
         # the epoch slice is bounded (≪ table size) so this is safe.
         dedup = dedup.localCheckpoint(eager=False)
@@ -233,6 +250,7 @@ class CdcEngine:
                 PROP_EPOCH_ID: epoch_id,
                 "cdc.manifest": json.dumps(manifest),
             },
+            touched_buckets=[int(b) for b in partition_offsets],
         )
         return EpochResult(
             epoch_id, lsn_from, lsn_to, n_events,

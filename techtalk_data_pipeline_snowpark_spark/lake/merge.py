@@ -52,6 +52,7 @@ def merge_into(
     matched_condition: Column | None = None,
     properties: dict | None = None,
     validate_unique_keys: bool = False,
+    touched_buckets: list[int] | None = None,
 ) -> CommitResult:
     """MERGE INTO table USING source ON keys.
 
@@ -96,7 +97,13 @@ def merge_into(
             insert_cond = ~F.coalesce(when_matched_delete, F.lit(False))
 
     if snap.num_buckets:
-        buckets = _touched_buckets(source, keys, snap.num_buckets)
+        # callers that already aggregated per-bucket stats (the CDC engine's
+        # offsets pass) hand the bucket list in — saves one source scan.
+        buckets = (
+            sorted(touched_buckets)
+            if touched_buckets is not None
+            else _touched_buckets(source, keys, snap.num_buckets)
+        )
         touched_files = snap.files_in_buckets(set(buckets))
         untouched = [p for p in snap.files if p not in set(touched_files)]
     else:

@@ -47,23 +47,44 @@ def exact_dedup_apply(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # --------------------------------------------------------------- shingles
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and feed it to ``fn`` as a bound
+    lambda variable — JVM-side common-subexpression elimination.
+
+    Catalyst's projection collapse happily inlines an aliased expression
+    into every downstream use (64 copies of the shingle pipeline inside a
+    64-hash minhash — measured 40ms/row interpreted); binding it as a
+    higher-order-function lambda variable forces single evaluation while
+    staying inside codegen."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Array of k-word shingles (distinct), pure JVM expressions."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.lower(F.trim(c)), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return _bind(
+        toks,
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            )
+        ),
     )
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    s = F.lower(c)
-    ln = F.length(s)
-    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+    return _bind(
+        F.lower(c),
+        lambda s: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
+                lambda i: F.substring(s, i, n),
+            )
+        ),
+    )
 
 
 # ---------------------------------------------------------------- minhash
@@ -71,12 +92,16 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """K minhashes: min over shingles of xxhash64(shingle, seed_i).
-    K transforms over the shingle array — JVM-side, no UDF."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    The shingle array is lambda-bound so it is computed once, not once per
+    hash; K transforms over the bound array — JVM-side, no UDF."""
+    return _bind(
+        shingles,
+        lambda sh: F.array(
+            *[
+                F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+                for i in range(num_hashes)
+            ]
+        ),
     )
 
 
@@ -87,18 +112,39 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding.
 
     rows-per-band r = num_hashes/bands; docs sharing any band hash become a
-    candidate pair. The band hash is uniform → the bucket-join shuffle has
-    no skew. Output: (a, b) id pairs with a < b, distinct.
+    candidate pair. Output: (a, b) id pairs with a < b, distinct.
+
+    ``max_bucket_size`` drops buckets larger than the cap before the
+    self-join — a mega-bucket (boilerplate/low-entropy shingles) produces
+    O(n²) pairs with almost no discriminative signal and is THE quadratic
+    blowup at corpus scale; true near-dup clusters above the cap are still
+    found through their other ``bands-1`` band hashes. This is the standard
+    LSH skew defense (same role as salting in the CDC dedup).
     """
+    from pyspark import StorageLevel
+
     r = num_hashes // bands
-    sig = df.select(
+    # spread the CPU-heavy signature map across all cores: a small input
+    # (one parquet file → one partition) would otherwise pin the whole
+    # stage to a single task; at corpus scale the input arrives
+    # many-partitioned and this is a cheap rebalance.
+    spark = df.sparkSession
+    src = df.repartition(spark.sparkContext.defaultParallelism)
+    sig = src.select(
         F.col(id_col).alias("_id"),
         minhash_signature(word_shingles(text_col, shingle_k), num_hashes).alias("_sig"),
     )
+    # persist is load-bearing, not a cache hint: without a materialization
+    # barrier Catalyst's projection collapse inlines the 64-transform
+    # signature expression into every one of the 16 band structs on BOTH
+    # join sides (~1000× recompute per row — measured 436s → 9s at 5k docs).
+    # At corpus scale this stage is persisted as a signatures table anyway.
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "_id",
         F.explode(
@@ -115,8 +161,12 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.bh")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_n"))
+    capped = banded.join(
+        sizes.where(F.col("_n") <= max_bucket_size), on=["band", "bh"], how="inner"
+    ).drop("_n")
+    left = capped.alias("l")
+    right = capped.alias("r")
     pairs = (
         left.join(
             right,
@@ -156,9 +206,12 @@ def minhash_near_dups(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Full pipeline: LSH candidates → verified Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_k)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_k, max_bucket_size
+    )
     verified = ngram_jaccard(df, cands, id_col, text_col, shingle_k)
     return verified.where(F.col("jaccard") >= threshold)
 
@@ -221,6 +274,11 @@ def simhash_candidates(sim: DataFrame, id_col: str, blocks: int = 4) -> DataFram
             )
         ).alias("p"),
     ).select("_id", "p.blk", "p.bits")
+    from pyspark import StorageLevel
+
+    # barrier: without it the self-join recomputes the 64-sum simhash
+    # aggregation once per side (see minhash_lsh_candidates note).
+    parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = parts.alias("l"), parts.alias("r")
     return (
         l.join(
@@ -284,6 +342,11 @@ def embedding_near_dups(
             lambda acc, bit: acc * 2 + bit,
         ).alias("_bucket"),
     )
+    from pyspark import StorageLevel
+
+    # barrier: the hyperplane-signature expression (num_planes dot products
+    # per row) must not be inlined into both self-join sides.
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = sigs.alias("l"), sigs.alias("r")
     pairs = l.join(
         r,

@@ -111,3 +111,29 @@ def test_lang_id_and_quality(spark):
     assert rows[1].l == "es"
     assert rows[2].l == "unknown"
     assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_fused_normalize_and_canonicalize_parity(spark):
+    """The fused pyarrow-kernel UDF (CDC hot path) must be bit-identical to
+    the individual pandas UDFs and the JVM SQL expressions."""
+    from techtalk_data_pipeline_snowpark_spark.functions import normalize_and_canonicalize
+
+    rows_in = [
+        ("Python", "a \r\nb\t\n"),
+        ("PY3", "x"),
+        ("klingon", ""),
+        (None, "line1  \nline2\n\n\n"),
+        ("Golang", "no trailing newline"),
+        ("rs", "tabs\t\t\nspaces   \nend\t \n \t"),
+    ]
+    df = spark.createDataFrame(rows_in, ["lang", "content"])
+    got = df.select(
+        normalize_and_canonicalize(F.col("lang"), F.col("content")).alias("t"),
+        normalize_lang(F.col("lang")).alias("l_ref"),
+        canonicalize_content(F.col("content")).alias("c_ref"),
+        canonicalize_content_sql("content").alias("c_sql"),
+        normalize_lang_sql("lang").alias("l_sql"),
+    ).collect()
+    for r in got:
+        assert r.t.lang == r.l_ref == r.l_sql, (r.t.lang, r.l_ref, r.l_sql)
+        assert r.t.content == r.c_ref == r.c_sql, (repr(r.t.content), repr(r.c_ref))
