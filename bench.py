@@ -59,7 +59,6 @@ def bench_cdc_replay(spark, n_events: int, epochs: int, workdir: str) -> dict:
         os.path.join(workdir, "state"),
         key_cols=("repo", "path"),
         num_buckets=64,
-        salted=True,
     )
     t0 = time.time()
     results = eng.replay(log, max_lsn=max_lsn, epoch_size=(max_lsn + epochs - 1) // epochs)

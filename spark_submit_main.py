@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="generate the event log (--gen-events) and exit")
     p.add_argument("--no-pandas-udfs", action="store_true",
                    help="use JVM expressions instead of pandas UDFs for row transforms")
+    p.add_argument("--broadcast-limit", type=int, default=2_000_000,
+                   help="winner-set size above which the payload semi-join "
+                        "shuffles instead of broadcasting")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -73,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         num_buckets=args.buckets,
         salted=args.salted,
         use_pandas_udfs=not args.no_pandas_udfs,
+        broadcast_key_limit=args.broadcast_limit,
     )
     t0 = time.time()
     results = eng.replay(

@@ -59,6 +59,44 @@ def dedup_latest_salted(
     return p2.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
 
 
+def winner_keys(events: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(key..., lsn, op) of the last writer per key — the late-
+    materialization half of the dedup.
+
+    Only key/lsn/op columns are selected, so the parquet scan is
+    column-pruned (no content strings move at all); the groupBy gets
+    partial map-side aggregation over ~60-byte rows. At 10^10 events this
+    frame is ~2% the bytes of the full payload — cheap enough to persist
+    and reuse for offsets, merge metrics, and the payload semi-join."""
+    return (
+        events.select(*key_cols, "lsn", "op")
+        .groupBy(*key_cols)
+        .agg(F.max("lsn").alias("lsn"), F.max_by("op", F.col("lsn")).alias("op"))
+    )
+
+
+def dedup_latest_via_winners(
+    events: DataFrame,
+    key_cols: list[str],
+    winners: DataFrame,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Late-materialization dedup: semi-join the full-payload slice against
+    the winner (key, lsn) set, then a max_by pass for exact-duplicate
+    delivery defense.
+
+    Payload bytes cross a shuffle at most ONCE: broadcast=True (winner set
+    fits the driver/executors) makes the semi-join map-side, and the
+    following groupBy provides the hash-partitioning that the downstream
+    MERGE join then reuses; broadcast=False shuffles on the key once and
+    both the max_by and the MERGE reuse that partitioning."""
+    w = winners.select(*key_cols, "lsn")
+    rows = events.join(
+        F.broadcast(w) if broadcast else w, on=[*key_cols, "lsn"], how="leftsemi"
+    )
+    return dedup_latest(rows, key_cols)
+
+
 def dedup_latest_window(events: DataFrame, key_cols: list[str]) -> DataFrame:
     """Window row_number variant (parity check; not the hot path — no
     map-side partial aggregation)."""

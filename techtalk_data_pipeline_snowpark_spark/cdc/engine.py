@@ -41,7 +41,12 @@ from ..functions.text import (
     sha256_hex,
 )
 from ..lake import LakeTable, bucket_expr, merge_into
-from .dedup import dedup_latest, dedup_latest_salted
+from .dedup import (
+    dedup_latest,
+    dedup_latest_salted,
+    dedup_latest_via_winners,
+    winner_keys,
+)
 from .schema_evolution import reconcile
 
 ENGINE_COLS = {"op"}
@@ -71,6 +76,7 @@ class CdcEngine:
         salted: bool = False,
         num_salts: int = 16,
         use_pandas_udfs: bool = True,
+        broadcast_key_limit: int = 2_000_000,
     ):
         self.spark = spark
         self.table_root = table_root
@@ -79,6 +85,11 @@ class CdcEngine:
         self.salted = salted
         self.num_salts = num_salts
         self.use_pandas_udfs = use_pandas_udfs
+        # winner sets up to this many keys are broadcast for the payload
+        # semi-join (map-side, zero payload shuffle); larger epochs fall
+        # back to a shuffled semi-join whose key partitioning the merge
+        # join then reuses.
+        self.broadcast_key_limit = broadcast_key_limit
 
     # ------------------------------------------------------------- state
     def table(self) -> LakeTable:
@@ -187,26 +198,38 @@ class CdcEngine:
             )
             evolved, added, widened = batch_target_schema, [], []
 
-        # Dedup BEFORE the row transforms: max-LSN winners are decided by
-        # (lsn, ts, op) alone, so canonicalization/lang-normalization of
-        # losing rows would be wasted Arrow traffic — at a 60/30/10 op mix
-        # this cuts pandas-UDF volume by the full dup factor of the epoch.
-        deduped_raw = (
-            dedup_latest_salted(sliced, self.key_cols, self.num_salts)
-            if self.salted
-            else dedup_latest(sliced, self.key_cols)
-        )
-        dedup = self._transform(deduped_raw)
-        # cache: reused by offsets/metrics aggregation AND the merge join;
-        # the epoch slice is bounded (≪ table size) so this is safe.
-        dedup = dedup.localCheckpoint(eager=False)
+        # Late materialization: winner (key, lsn, op) from a column-pruned
+        # scan — content bytes don't move for losing rows at all. This tiny
+        # frame drives offsets, merge metrics, AND the payload semi-join,
+        # so the full-payload slice is executed exactly once per epoch
+        # (inside the merge) with at most ONE payload shuffle. Replaces a
+        # localCheckpoint of the full payload that cost ~20s/epoch at 6M
+        # events and hammered the block store.
+        winners = winner_keys(sliced, self.key_cols)
+        from pyspark import StorageLevel
 
-        stats = dedup.groupBy(
+        winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
+
+        stats = winners.groupBy(
             bucket_expr(self.key_cols, self.num_buckets).alias("_b")
         ).agg(F.max("lsn").alias("max_lsn"), F.count(F.lit(1)).alias("n"))
         stat_rows = stats.collect()
         n_events = int(sum(r["n"] for r in stat_rows))
         partition_offsets = {str(r["_b"]): int(r["max_lsn"]) for r in stat_rows}
+
+        # Payload path: salted two-phase reduction for adversarial skew, or
+        # the default winners semi-join (broadcast while the winner set is
+        # driver-manageable, shuffled semi-join beyond that). Dedup runs
+        # BEFORE the row transforms either way: canonicalization of losing
+        # rows would be wasted Arrow traffic.
+        if self.salted:
+            deduped_raw = dedup_latest_salted(sliced, self.key_cols, self.num_salts)
+        else:
+            deduped_raw = dedup_latest_via_winners(
+                sliced, self.key_cols, winners,
+                broadcast=n_events <= self.broadcast_key_limit,
+            )
+        dedup = self._transform(deduped_raw)
 
         if n_events == 0:
             res = table.commit_rewrite(
@@ -221,6 +244,7 @@ class CdcEngine:
                 },
                 summary={"rows_inserted": 0, "rows_updated": 0, "rows_deleted": 0},
             )
+            winners.unpersist()
             return EpochResult(epoch_id, lsn_from, lsn_to, 0, 0, 0, 0)
 
         if added or widened:
@@ -252,6 +276,7 @@ class CdcEngine:
             },
             touched_buckets=[int(b) for b in partition_offsets],
         )
+        winners.unpersist()
         return EpochResult(
             epoch_id, lsn_from, lsn_to, n_events,
             res.summary["rows_inserted"], res.summary["rows_updated"],

@@ -111,43 +111,44 @@ def merge_into(
 
     tgt = table._read_files(touched_files, schema).alias("t")
 
-    # ---- metrics probe: key-only scan of touched buckets (column-pruned)
-    tkeys = tgt.select(*[F.col(f"t.{k}") for k in keys]).withColumn("_m", F.lit(1))
-    probe = src.join(tkeys, on=keys, how="left")
-    is_matched = (F.col("_m") == 1) & matched
-    del_flag = (
-        F.lit(False) if when_matched_delete is None else when_matched_delete
-    )
-    # NOTE: the probe carries only source columns + key match flag, so a
-    # delete condition used here must reference source columns (the CDC op
-    # column) — which is how every reference call site uses it.
-    m = probe.agg(
-        F.sum(
-            F.when(is_matched & del_flag, 1).otherwise(0)
-        ).alias("deleted"),
-        F.sum(
-            F.when(
-                is_matched & ~del_flag & F.lit(when_matched_update is not None), 1
-            ).otherwise(0)
-        ).alias("updated"),
-        F.sum(
-            F.when(F.col("_m").isNull() & insert_cond, 1).otherwise(0)
-        ).alias("inserted"),
-    ).first()
-    summary = {
-        "rows_inserted": int(m["inserted"] or 0),
-        "rows_updated": int(m["updated"] or 0),
-        "rows_deleted": int(m["deleted"] or 0),
-        "buckets_rewritten": len(buckets) if buckets is not None else None,
-        "files_carried": len(untouched),
-    }
-
     # ---- arbitration
     joined = tgt.join(src, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], how="full_outer")
     t_exists = F.col(f"t.{keys[0]}").isNotNull()
     s_exists = F.col(f"s.{keys[0]}").isNotNull()
     # NB: null keys — the CDC engine forbids null keys; eqNullSafe keeps the
     # join total anyway.
+
+    # ---- merge metrics ride the arbitration job itself (Dataset.observe):
+    # no separate probe job/scan — at epoch cadence the extra Spark job per
+    # epoch was a measurable serial cost (MergeResult parity: M6,
+    # IngestOrdersFromRawToFlat.scala:89-92).
+    from uuid import uuid4
+
+    from pyspark.sql import Observation
+
+    del_flag = (
+        F.lit(False)
+        if when_matched_delete is None
+        else F.coalesce(when_matched_delete, F.lit(False))
+    )
+    obs = Observation(f"merge-{uuid4().hex}")
+    joined = joined.observe(
+        obs,
+        F.sum(
+            F.when(t_exists & s_exists & matched & del_flag, 1).otherwise(0)
+        ).alias("deleted"),
+        F.sum(
+            F.when(
+                t_exists & s_exists & matched & ~del_flag
+                & F.lit(when_matched_update is not None),
+                1,
+            ).otherwise(0)
+        ).alias("updated"),
+        F.sum(
+            F.when(~t_exists & s_exists & F.coalesce(insert_cond, F.lit(False)), 1)
+            .otherwise(0)
+        ).alias("inserted"),
+    )
 
     def target_row():
         return [F.col(f"t.{c}").alias(c) for c in tcols]
@@ -205,6 +206,14 @@ def merge_into(
     result = joined.where(~drop).select(*result_cols)
 
     adds = table._stage_dataframe(result, schema, snap.num_buckets, snap.key_cols)
+    m = obs.get  # staging executed the plan; metrics are ready
+    summary = {
+        "rows_inserted": int(m.get("inserted") or 0),
+        "rows_updated": int(m.get("updated") or 0),
+        "rows_deleted": int(m.get("deleted") or 0),
+        "buckets_rewritten": len(buckets) if buckets is not None else None,
+        "files_carried": len(untouched),
+    }
     return table.commit_rewrite(
         adds=adds,
         removes=touched_files,

@@ -123,6 +123,44 @@ def test_dedup_variants_agree(spark):
     assert [r.lsn for r in a] == [r.lsn for r in b] == [r.lsn for r in c]
 
 
+def test_dedup_via_winners_agrees(spark):
+    """Late-materialization path (winner keys -> payload semi-join) must
+    equal the max_by path, broadcast and shuffled variants both."""
+    from techtalk_data_pipeline_snowpark_spark.cdc.dedup import (
+        dedup_latest_via_winners,
+        winner_keys,
+    )
+
+    ev = change_events(spark, 2000, n_repos=5, paths_per_repo=5, seed=17, dup_delivery_rate=0.1)
+    cols = dedup_latest(ev, ["repo", "path"]).columns
+    a = dedup_latest(ev, ["repo", "path"]).orderBy("repo", "path").collect()
+    w = winner_keys(ev, ["repo", "path"])
+    for bc in (True, False):
+        d = (
+            dedup_latest_via_winners(ev, ["repo", "path"], w, broadcast=bc)
+            .select(cols).orderBy("repo", "path").collect()
+        )
+        assert [r.lsn for r in d] == [r.lsn for r in a]
+        # MERGE precondition: key-unique even under duplicate delivery
+        keys = [(r.repo, r.path) for r in d]
+        assert len(keys) == len(set(keys))
+
+
+def test_winner_keys_has_partial_agg_and_pruned_scan(spark):
+    """winner_keys must plan as a column-pruned scan (no content column)
+    with partial aggregation — the 10^10-scale property."""
+    from techtalk_data_pipeline_snowpark_spark.cdc.dedup import winner_keys
+    from techtalk_data_pipeline_snowpark_spark.plans import scan_read_columns
+
+    ev = change_events(spark, 500, seed=3)
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "ev")
+    ev.write.parquet(p)
+    w = winner_keys(spark.read.parquet(p), ["repo", "path"])
+    cols = scan_read_columns(w)
+    assert cols and set(cols[0]) == {"repo", "path", "lsn", "op"}, cols
+
+
 def test_dedup_tie_break_deterministic(spark):
     import pyspark.sql.types as T
 
