@@ -246,5 +246,9 @@ def ratings(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         _code(F.col("id"), "rest", seed, 100, 299).alias("restaurantCode"),
         _h(F.col("id"), "rate", seed, 101).cast("int").alias("ratingInPercentage"),
         _iso_date(F.col("id"), "rdate", seed).alias("dateOfRate"),
-        _email(F.col("id"), "rat", seed).alias("customerEmail"),
+        # share the orders email domain (salt "ord") so the reference's
+        # 3-way join on (restaurantCode, customerEmail) —
+        # PaidWithAmexRatingGt50.scala:33-44 — has real matches, as the
+        # shared customer population does in the reference's generator.
+        _email(F.col("id"), "ord", seed).alias("customerEmail"),
     )
