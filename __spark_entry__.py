@@ -597,6 +597,36 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session aggs."""
+    from techtalk_data_pipeline_snowpark_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_seconds=1800)
+
+
+_SESSIONS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS secs
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(secs) OVER w IS NULL
+                  OR secs - lag(secs) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY secs, event_id)
+), sessioned AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY secs, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(secs) AS start_s, max(secs) AS end_s,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sessioned GROUP BY user_id, session_idx
+"""
+
+
 # ------------------------------------- non-SQL-expressible (rows-only)
 
 def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
         "doc_fingerprint_docs": doc_fingerprint_docs,
+        "session_stats_events": session_stats_events,
         "cosine_topk": cosine_topk,
         "embedding_near_dups_docs": embedding_near_dups_docs,
         "minhash_near_dup_docs": minhash_near_dup_docs,
@@ -676,6 +707,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_docs": _lang_id_oracle(),
         "quality_docs": _QUALITY_ORACLE,
         "doc_fingerprint_docs": _FINGERPRINT_ORACLE,
+        "session_stats_events": _SESSIONS_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "embedding_near_dups_docs": _NEAR_DUPS_ORACLE,
         # minhash_near_dup_docs / simhash_docs / cosine_topk_ann: xxhash64-
