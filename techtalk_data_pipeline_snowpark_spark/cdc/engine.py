@@ -172,9 +172,15 @@ class CdcEngine:
         lineage: dict | None = None,
     ) -> EpochResult:
         """Apply the epoch ``(lsn_from, lsn_to]``. Idempotent: if the table
-        already recorded lsn >= lsn_to, the epoch is skipped outright."""
-        epoch_id = self.last_epoch_id() + 1
-        applied = self.last_lsn()
+        already recorded lsn >= lsn_to, the epoch is skipped outright.
+
+        The table snapshot is read ONCE per epoch (shared with offsets,
+        reconciliation, and the merge) — a long replay stays O(epochs)
+        driver work, not O(epochs × log replays)."""
+        table = self.table()
+        snap0 = table.snapshot() if table.exists() else None
+        epoch_id = (int(snap0.properties.get(PROP_EPOCH_ID, 0)) if snap0 else 0) + 1
+        applied = int(snap0.properties.get(PROP_LAST_LSN, 0)) if snap0 else 0
         if applied >= lsn_to:
             return EpochResult(epoch_id - 1, lsn_from, lsn_to, 0, 0, 0, 0, skipped=True)
         lsn_from = max(lsn_from, applied)
@@ -183,11 +189,8 @@ class CdcEngine:
 
         # schema reconciliation BEFORE transforms (hard part c)
         batch_target_schema = self._target_schema(sliced.schema)
-        if self.table_exists():
-            table = self.table()
-            evolved, added, widened = reconcile(
-                table.snapshot().schema, batch_target_schema
-            )
+        if snap0 is not None:
+            evolved, added, widened = reconcile(snap0.schema, batch_target_schema)
         else:
             table = LakeTable.create(
                 self.spark,
@@ -196,7 +199,17 @@ class CdcEngine:
                 key_cols=self.key_cols,
                 num_buckets=self.num_buckets,
             )
+            snap0 = table.snapshot()
             evolved, added, widened = batch_target_schema, [], []
+        # The engine's bucket ids (offsets manifest + merge pruning hints)
+        # are only meaningful if they agree with how the table's files were
+        # actually bucketed. On mismatch (engine constructed with different
+        # num_buckets/key order than an existing table) fall back to letting
+        # merge_into derive pruning from the snapshot itself.
+        buckets_trusted = (
+            snap0.num_buckets == self.num_buckets
+            and list(snap0.key_cols) == list(self.key_cols)
+        )
 
         # Late materialization: winner (key, lsn, op) from a column-pruned
         # scan — content bytes don't move for losing rows at all. This tiny
@@ -247,12 +260,14 @@ class CdcEngine:
             winners.unpersist()
             return EpochResult(epoch_id, lsn_from, lsn_to, 0, 0, 0, 0)
 
+        snap_for_merge = snap0
         if added or widened:
             table.commit_rewrite(
                 [], [], "evolve-schema", schema=evolved,
                 properties={"cdc.schema_added": json.dumps(added),
                             "cdc.schema_widened": json.dumps(widened)},
             )
+            snap_for_merge = table.snapshot()
 
         manifest = {
             "epoch_id": epoch_id,
@@ -274,7 +289,10 @@ class CdcEngine:
                 PROP_EPOCH_ID: epoch_id,
                 "cdc.manifest": json.dumps(manifest),
             },
-            touched_buckets=[int(b) for b in partition_offsets],
+            touched_buckets=(
+                [int(b) for b in partition_offsets] if buckets_trusted else None
+            ),
+            snap=snap_for_merge,
         )
         winners.unpersist()
         return EpochResult(

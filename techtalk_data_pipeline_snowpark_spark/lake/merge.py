@@ -53,6 +53,7 @@ def merge_into(
     properties: dict | None = None,
     validate_unique_keys: bool = False,
     touched_buckets: list[int] | None = None,
+    snap=None,
 ) -> CommitResult:
     """MERGE INTO table USING source ON keys.
 
@@ -66,8 +67,13 @@ def merge_into(
 
     Source must be key-unique (Snowflake MERGE raises on duplicate source
     keys too); the CDC engine guarantees it via max-LSN dedup.
+
+    ``snap``: pass a pre-read Snapshot to avoid re-replaying the table log
+    (the CDC engine reads the snapshot once per epoch and shares it).
+    Optimistic concurrency still holds — the commit pins
+    ``expected_version = snap.version + 1`` and fails on a racing writer.
     """
-    snap = table.snapshot()
+    snap = snap if snap is not None else table.snapshot()
     keys = on or snap.key_cols
     if not keys:
         raise ValueError("merge requires key columns")
@@ -96,7 +102,12 @@ def merge_into(
         if do_insert and when_matched_delete is not None:
             insert_cond = ~F.coalesce(when_matched_delete, F.lit(False))
 
-    if snap.num_buckets:
+    # Bucket pruning is sound ONLY when the merge keys are exactly the
+    # table's bucketing keys (same columns, same order — F.hash is
+    # order-sensitive): a file's bucket is pmod(hash(snap.key_cols), N), so
+    # matches for any other key set may live in any bucket.
+    can_prune = bool(snap.num_buckets) and list(keys) == list(snap.key_cols)
+    if can_prune:
         # callers that already aggregated per-bucket stats (the CDC engine's
         # offsets pass) hand the bucket list in — saves one source scan.
         buckets = (

@@ -207,3 +207,22 @@ def test_schema_evolution_add_and_widen(spark, tmp_path):
     with_license = state[state.license.notna()]
     assert len(with_license) > 0
     assert all((r.repo, r.path) in p2_keys for r in with_license.itertuples())
+
+
+def test_bucket_config_mismatch_falls_back_safely(spark, tmp_path):
+    """An engine constructed with a different num_buckets than an existing
+    table must NOT trust its precomputed bucket list (ADVICE r1: wrong
+    bucket ids would silently skip rewriting matched files → stale dups).
+    The fallback lets merge_into derive pruning from the snapshot."""
+    ev = change_events(spark, 1500, n_repos=10, paths_per_repo=10, seed=11)
+    root = str(tmp_path / "t")
+    e1 = CdcEngine(spark, root, num_buckets=8)
+    e1.replay(ev.where(F.col("lsn") <= 700), epoch_size=10**9)
+    # resume with a mismatched bucket config (16 != table's 8)
+    e2 = CdcEngine(spark, root, num_buckets=16)
+    e2.replay(ev, epoch_size=10**9)
+    state = _final_state_pdf(e2)
+    oracle = _oracle_pdf(ev.toPandas())
+    _assert_state_equal(state, oracle)
+    # no duplicate keys survived
+    assert not state.duplicated(subset=["repo", "path"]).any()
