@@ -26,8 +26,12 @@ Scale posture:
   (copy-on-write at bucket granularity), so a small epoch over a huge table
   touches a bounded file set. N is chosen at create time for the target
   table size (100 TB / N buckets ≈ executor-digestible units).
-- The log is O(versions) small JSON; snapshot reconstruction is a linear
-  replay (checkpointing the log would be the next step at 10^6 commits).
+- The log is O(versions) small JSON; snapshot reconstruction replays from
+  the newest *checkpoint* (written every CHECKPOINT_EVERY commits, same
+  atomic link protocol), so ``snapshot()`` is O(CHECKPOINT_EVERY) log reads
+  regardless of table age — a long-running CDC tail (10^2–10^4 epochs) has
+  flat per-epoch driver cost instead of O(versions²) replay. This mirrors
+  Iceberg/Delta metadata checkpointing.
 """
 
 from __future__ import annotations
@@ -45,6 +49,11 @@ from pyspark.sql import types as T
 
 LOG_DIR = "_log"
 DATA_DIR = "data"
+# Snapshot checkpoint cadence: every K commits the full table state is
+# written alongside the log. K bounds both the replay work per snapshot()
+# and the wasted work when a checkpoint write loses a race (it's an
+# optimization — losing it never loses data).
+CHECKPOINT_EVERY = 16
 
 
 def bucket_expr(key_cols: list[str], num_buckets: int):
@@ -125,7 +134,11 @@ class LakeTable:
 
     def latest_version(self) -> int:
         entries = os.listdir(os.path.join(self.root, LOG_DIR))
-        versions = [int(e.split(".")[0]) for e in entries if e.endswith(".json")]
+        versions = [
+            int(e.split(".")[0])
+            for e in entries
+            if e.endswith(".json") and ".checkpoint." not in e and not e.startswith(".")
+        ]
         if not versions:
             raise FileNotFoundError(f"no commits in {self.root}")
         return max(versions)
@@ -158,7 +171,48 @@ class LakeTable:
             ) from e
         finally:
             os.unlink(tmp)
+        if version % CHECKPOINT_EVERY == 0:
+            try:
+                self._write_checkpoint(version)
+            except Exception:
+                # a checkpoint is a pure optimization — never fail or roll
+                # back an already-durable commit because of it.
+                pass
         return CommitResult(version=version, summary=entry.get("summary", {}))
+
+    # ---------------------------------------------------------- checkpoints
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.root, LOG_DIR, f"{version:020d}.checkpoint.json")
+
+    def _available_checkpoints(self) -> list[int]:
+        d = os.path.join(self.root, LOG_DIR)
+        return sorted(
+            int(e.split(".")[0])
+            for e in os.listdir(d)
+            if e.endswith(".checkpoint.json") and not e.startswith(".")
+        )
+
+    def _write_checkpoint(self, version: int) -> None:
+        snap = self.snapshot(version)  # itself replays from the prior checkpoint
+        payload = {
+            "version": version,
+            "schema": snap.schema.json(),
+            "key_cols": snap.key_cols,
+            "num_buckets": snap.num_buckets,
+            "files": snap.files,
+            "properties": snap.properties,
+        }
+        tmp = os.path.join(self.root, LOG_DIR, f".tmp-cp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._checkpoint_path(version))
+        except FileExistsError:
+            pass  # concurrent reader already checkpointed this version
+        finally:
+            os.unlink(tmp)
 
     # ------------------------------------------------------------ snapshot
     def snapshot(self, version: int | None = None) -> Snapshot:
@@ -168,7 +222,18 @@ class LakeTable:
         key_cols: list[str] = []
         num_buckets = None
         props: dict = {}
-        for e in self.log_entries(1, version):
+        start = 1
+        cps = [v for v in self._available_checkpoints() if v <= version]
+        if cps:
+            with open(self._checkpoint_path(max(cps))) as f:
+                cp = json.load(f)
+            files = {p: dict(m) for p, m in cp["files"].items()}
+            schema_json = cp["schema"]
+            key_cols = cp["key_cols"]
+            num_buckets = cp["num_buckets"]
+            props = dict(cp["properties"])
+            start = cp["version"] + 1
+        for e in self.log_entries(start, version):
             if e.get("schema"):
                 schema_json = e["schema"]
             if e.get("key_cols"):

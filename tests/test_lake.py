@@ -112,3 +112,36 @@ def test_bucket_pruning_metadata(spark, tmp_table_root):
 
     got = sub.select(bucket_expr(["repo", "path"], 8).alias("b")).distinct().collect()
     assert {r.b for r in got} <= set(some)
+
+
+def test_log_checkpoint_roundtrip(spark, tmp_table_root):
+    """snapshot() must start from the newest checkpoint and agree exactly
+    with a from-scratch log replay (checkpoints hidden)."""
+    import glob
+    import os
+
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2)
+    for i in range(20):
+        t.append(_df(spark, [(f"r{i}", f"p{i}", f"c{i}")]))
+    cps = t._available_checkpoints()
+    assert cps and all(v % 16 == 0 for v in cps)
+    snap_cp = t.snapshot()
+    # hide the checkpoints → force a full replay; states must be identical
+    hidden = []
+    for p in glob.glob(os.path.join(tmp_table_root, "_log", "*.checkpoint.json")):
+        os.rename(p, p + ".hidden")
+        hidden.append(p)
+    try:
+        snap_full = t.snapshot()
+    finally:
+        for p in hidden:
+            os.rename(p + ".hidden", p)
+    assert snap_cp.version == snap_full.version
+    assert snap_cp.files == snap_full.files
+    assert snap_cp.properties == snap_full.properties
+    assert snap_cp.schema == snap_full.schema
+    assert snap_cp.key_cols == snap_full.key_cols
+    assert snap_cp.num_buckets == snap_full.num_buckets
+    assert t.read().count() == 20
+    # versioned read below the checkpoint still works
+    assert t.snapshot(version=10).version == 10
