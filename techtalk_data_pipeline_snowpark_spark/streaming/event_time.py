@@ -75,6 +75,8 @@ def windowed_counts(
 
 
 def _session_fn(gap_seconds: int):
+    cols = [f.name for f in SESSION_SCHEMA.fields]
+
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -82,31 +84,60 @@ def _session_fn(gap_seconds: int):
         if state.hasTimedOut:
             start, last, n, s = state.get
             state.remove()
-            yield pd.DataFrame(
-                [[user_id, start, last, n, s, True]],
-                columns=[f.name for f in SESSION_SCHEMA.fields],
-            )
+            yield pd.DataFrame([[user_id, start, last, n, s, True]], columns=cols)
             return
-        start, last, n, s = state.get if state.exists else (None, None, 0, 0.0)
+        start0, last0, n0, s0 = state.get if state.exists else (None, None, 0, 0.0)
+        # applyInPandasWithState delivers a group's rows as MULTIPLE Arrow
+        # chunks with no cross-chunk ordering guarantee — materialize the
+        # whole group and sort once (per-chunk sorting corrupts sessions for
+        # groups larger than one Arrow batch).
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        if len(pdf) == 0:
+            if last0 is not None:
+                state.setTimeoutDuration(gap_seconds * 1000)  # keep the timer armed
+            return
+        import numpy as np
+
+        secs = pdf["secs"].to_numpy(np.int64)
+        vals = pdf["value"].to_numpy(np.float64)
+        order = np.argsort(secs, kind="stable")
+        secs, vals = secs[order], vals[order]
+        # Vectorized gap detection: a session boundary wherever the time
+        # delta exceeds the gap. The only Python loop below is over
+        # SESSIONS (few), never over events (many).
+        new_seg = np.empty(secs.shape, dtype=bool)
+        new_seg[0] = True
+        np.greater(np.diff(secs), gap_seconds, out=new_seg[1:])
+        seg_id = np.cumsum(new_seg) - 1
+        counts = np.bincount(seg_id)
+        sums = np.bincount(seg_id, weights=vals)
+        first_idx = np.flatnonzero(new_seg)
+        last_idx = np.append(first_idx[1:] - 1, secs.size - 1)
+        seg_start = secs[first_idx].astype(np.int64)
+        seg_end = secs[last_idx]
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("secs")
-            for secs, val in zip(pdf["secs"].to_numpy(), pdf["value"].to_numpy()):
-                secs = int(secs)
-                if last is not None and secs - last > gap_seconds:
-                    out.append([user_id, start, last, n, s, True])
-                    start, last, n, s = None, None, 0, 0.0
-                if start is None:
-                    start = secs
-                last = secs
-                n += 1
-                s += float(val)
-        if last is not None:
-            state.update((start, last, n, s))
-            state.setTimeoutDuration(gap_seconds * 1000)
-            out.append([user_id, start, last, n, s, False])  # open-session progress
-        if out:
-            yield pd.DataFrame(out, columns=[f.name for f in SESSION_SCHEMA.fields])
+        if last0 is not None:
+            if int(secs[0]) - last0 > gap_seconds:
+                out.append([user_id, start0, last0, n0, s0, True])
+            else:  # carried open session continues into segment 0
+                seg_start[0] = start0
+                counts[0] += n0
+                sums[0] += s0
+        k = counts.size
+        for i in range(k - 1):  # all but the final segment closed by a gap
+            out.append(
+                [user_id, int(seg_start[i]), int(seg_end[i]), int(counts[i]), float(sums[i]), True]
+            )
+        state.update(
+            (int(seg_start[k - 1]), int(seg_end[k - 1]), int(counts[k - 1]), float(sums[k - 1]))
+        )
+        state.setTimeoutDuration(gap_seconds * 1000)
+        out.append(
+            [user_id, int(seg_start[k - 1]), int(seg_end[k - 1]), int(counts[k - 1]),
+             float(sums[k - 1]), False]  # open-session progress
+        )
+        yield pd.DataFrame(out, columns=cols)
 
     return fn
 

@@ -101,3 +101,56 @@ def test_stateful_sessions_stream(spark, sf_dir, tmp_path):
             key = (uid, sess[0])
             assert key in got, f"missing session {key}"
             assert got[key] == sess, (got[key], sess)
+
+
+def test_stateful_sessions_group_spanning_arrow_chunks(spark, tmp_path):
+    """A group larger than one Arrow batch arrives as multiple chunks with
+    no cross-chunk order guarantee. The sessionizer must sort globally per
+    group (ADVICE r1: per-chunk sorting corrupted session splits)."""
+    import random
+
+    events_dir = str(tmp_path / "ev1")
+    # one user, 600 events, timestamps shuffled in file order so chunk
+    # boundaries interleave early and late rows
+    random.seed(42)
+    secs_list = [1_700_000_000 + i * 60 + (i // 50) * 5000 for i in range(600)]
+    random.shuffle(secs_list)
+    rows = [(7, s, float(s % 97)) for s in secs_list]
+    df = spark.createDataFrame(rows, "user_id long, secs long, value double").select(
+        "user_id", F.to_timestamp(F.from_unixtime("secs")).alias("ts"), "value"
+    )
+    df.coalesce(1).write.parquet(events_dir)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        stream = spark.readStream.schema(df.schema).parquet(events_dir)
+        q = (
+            stateful_sessions(stream, gap_seconds=600)
+            .writeStream.format("memory").queryName("chunked_sessions")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(240)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {
+        (r.user_id, r.session_start_s): (r.session_end_s, r.n_events, round(r.sum_value, 6))
+        for r in spark.table("chunked_sessions").collect()
+    }
+    # oracle: sorted single pass
+    ordered = sorted(secs_list)
+    sessions, start, last, n, s = [], None, None, 0, 0.0
+    for sec in ordered:
+        if last is not None and sec - last > 600:
+            sessions.append((start, last, n, round(s, 6)))
+            start, n, s = None, 0, 0.0
+        if start is None:
+            start = sec
+        last = sec
+        n += 1
+        s += float(sec % 97)
+    sessions.append((start, last, n, round(s, 6)))
+    assert len(sessions) > 1, "fixture must produce multiple sessions"
+    for start, end, n, s in sessions:
+        assert (7, start) in got, f"missing session start={start}"
+        assert got[(7, start)] == (end, n, s)
