@@ -41,20 +41,44 @@ def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.union(b)
 
 
+def _ci_map_lookup(parsed: Column, field: str) -> Column:
+    """First map entry whose key matches ``field`` case-insensitively.
+
+    filter-over-entries instead of rebuilding a lowercased map: keys that
+    collide after lowercasing (both "k" and "K" present) would make
+    map_from_arrays throw under the default mapKeyDedupPolicy=EXCEPTION;
+    here the first match in payload order wins. ``F.get`` (0-based, total)
+    instead of ``element_at`` — ANSI mode (Spark 4 default) makes
+    element_at raise on a miss."""
+    return F.get(
+        F.filter(
+            F.map_entries(parsed), lambda e: F.lower(e["key"]) == F.lit(field.lower())
+        ),
+        0,
+    )["value"]
+
+
 def get_ignore_case(json_col: Column, field: str) -> Column:
     """Case-insensitive JSON field extraction.
 
     The reference parses payloads with ``parse_json`` then extracts fields
     case-insensitively (Implicits.scala:19). Spark's ``get_json_object`` is
-    case-sensitive, so parse the object to map<string,string>, lower-case the
-    keys, and look up the lower-cased field — case-insensitive for arbitrary
-    source casing, all JVM-side expressions.
+    case-sensitive, so parse the object to map<string,string> and probe the
+    entries case-insensitively — all JVM-side expressions.
+
+    Payloads whose values are nested objects/arrays cannot coerce to
+    map<string,string> (from_json nulls them out); for those, fall back to
+    direct JSONPath probes over the common casings of the field name — flat
+    extraction keeps working, with documented partial case-insensitivity.
     """
     parsed = F.from_json(json_col, T.MapType(T.StringType(), T.StringType()))
-    lowered = F.map_from_arrays(
-        F.transform(F.map_keys(parsed), lambda k: F.lower(k)), F.map_values(parsed)
+    return F.coalesce(
+        _ci_map_lookup(parsed, field),
+        F.get_json_object(json_col, f"$.{field}"),
+        F.get_json_object(json_col, f"$.{field.lower()}"),
+        F.get_json_object(json_col, f"$.{field.upper()}"),
+        F.get_json_object(json_col, f"$.{field.capitalize()}"),
     )
-    return F.element_at(lowered, F.lit(field.lower()))
 
 
 def json_array_to_exploded_fields(
@@ -78,18 +102,13 @@ def json_array_to_exploded_fields(
             F.from_json(F.col(json_col), T.ArrayType(T.MapType(T.StringType(), T.StringType())))
         ).alias("_rec"),
     )
-    lowered = parsed.withColumn(
-        "_rec",
-        F.map_from_arrays(
-            F.transform(F.map_keys("_rec"), lambda k: F.lower(k)),
-            F.map_values("_rec"),
-        ),
-    )
+    # per-field case-insensitive entry probe (see _ci_map_lookup: avoids the
+    # lowercased-key collision throw and ANSI element_at misses)
     fields = [
-        F.element_at(F.col("_rec"), f.name.lower()).cast(f.dataType).alias(f.name)
+        _ci_map_lookup(F.col("_rec"), f.name).cast(f.dataType).alias(f.name)
         for f in schema.fields
     ]
-    return lowered.select(*[F.col(c) for c in (keep_cols or [])], *fields)
+    return parsed.select(*[F.col(c) for c in (keep_cols or [])], *fields)
 
 
 def dateadd(part: str, amount: Column | int, ts: Column) -> Column:

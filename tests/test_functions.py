@@ -137,3 +137,26 @@ def test_fused_normalize_and_canonicalize_parity(spark):
     for r in got:
         assert r.t.lang == r.l_ref == r.l_sql, (r.t.lang, r.l_ref, r.l_sql)
         assert r.t.content == r.c_ref == r.c_sql, (repr(r.t.content), repr(r.c_ref))
+
+
+def test_get_ignore_case_colliding_and_nested(spark):
+    """ADVICE r1 edges: keys colliding after lowercasing must not throw
+    (first match in payload order wins), and nested-object payloads fall
+    back to JSONPath probes instead of nulling out."""
+    from techtalk_data_pipeline_snowpark_spark.functions.shims import get_ignore_case
+
+    df = spark.createDataFrame(
+        [
+            ('{"k": "1", "K": "2"}',),          # lowercase-collision
+            ('{"code": {"x": 1}, "qty": "7"}',),  # nested value → map parse fails
+            ('{"QTY": "9"}',),
+        ],
+        "j string",
+    )
+    got = [r.x for r in df.select(get_ignore_case(F.col("j"), "k").alias("x")).collect()]
+    assert got[0] == "1"  # first matching entry, no mapKeyDedupPolicy throw
+    qty = [r.x for r in df.select(get_ignore_case(F.col("j"), "qty").alias("x")).collect()]
+    assert qty[1] == "7"  # nested payload → get_json_object fallback
+    assert qty[2] == "9"  # wrong casing still found via map probe
+    missing = [r.x for r in df.select(get_ignore_case(F.col("j"), "absent").alias("x")).collect()]
+    assert missing == [None, None, None]  # no ANSI element_at error
