@@ -105,6 +105,62 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def _signatures_and_groups(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_k: int
+):
+    """(sig, groups): per-doc minhash signatures and identical-signature
+    groups (keyed by a 64-bit hash of the full signature; one representative
+    = min id per group). Both returned persisted — callers must unpersist.
+
+    persist is load-bearing, not a cache hint: without a materialization
+    barrier Catalyst's projection collapse inlines the 64-transform
+    signature expression into every downstream consumer (~1000× recompute
+    per row — measured 436s → 9s at 5k docs). At corpus scale this stage is
+    persisted as a signatures table anyway."""
+    from pyspark import StorageLevel
+
+    # spread the CPU-heavy signature map across all cores: a small input
+    # (one parquet file → one partition) would otherwise pin the whole
+    # stage to a single task; at corpus scale the input arrives
+    # many-partitioned and this is a cheap rebalance.
+    spark = df.sparkSession
+    src = df.repartition(spark.sparkContext.defaultParallelism)
+    sig = src.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(word_shingles(text_col, shingle_k), num_hashes).alias("_sig"),
+    ).withColumn("_sigh", F.xxhash64("_sig"))
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    groups = sig.groupBy("_sigh").agg(
+        F.min("_id").alias("_rid"),
+        F.first("_sig").alias("_rsig"),
+        F.count(F.lit(1)).alias("_m"),
+    )
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+    return sig, groups
+
+
+def _banded_reps(groups: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode distinct-signature representatives into (rep id, band, band
+    hash) rows — one row per (distinct signature × band), NOT per doc."""
+    r = num_hashes // bands
+    return groups.select(
+        F.col("_rid").alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("_rsig", b * r + j + 1) for j in range(r)])
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bh")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -117,67 +173,95 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs via LSH banding.
 
     rows-per-band r = num_hashes/bands; docs sharing any band hash become a
-    candidate pair. Output: (a, b) id pairs with a < b, distinct.
+    candidate pair. Output: (a, b) id pairs with a < b, distinct. The
+    candidate set is connectivity-preserving, not exhaustive: identical
+    signatures are collapsed to one representative per group (star pairs
+    rep→member link the group; rep-level band pairs link groups), so a
+    duplicate cluster of m docs costs O(m) pairs, not O(m²).
 
-    ``max_bucket_size`` drops buckets larger than the cap before the
-    self-join — a mega-bucket (boilerplate/low-entropy shingles) produces
-    O(n²) pairs with almost no discriminative signal and is THE quadratic
-    blowup at corpus scale; true near-dup clusters above the cap are still
-    found through their other ``bands-1`` band hashes. This is the standard
-    LSH skew defense (same role as salting in the CDC dedup).
+    ``max_bucket_size`` caps *distinct-signature* bucket sizes before the
+    band self-join — a mega-bucket of genuinely different low-entropy
+    signatures produces O(n²) pairs with almost no discriminative signal
+    and is THE quadratic blowup at corpus scale. Exact-duplicate clusters
+    (the most common mega-bucket cause, and the r1 recall hole: they share
+    EVERY band hash, so no other band rescues them) never hit the cap —
+    they are collapsed to one representative first. Use
+    ``minhash_bucket_stats`` to see what a cap would truncate.
     """
-    from pyspark import StorageLevel
-
-    r = num_hashes // bands
-    # spread the CPU-heavy signature map across all cores: a small input
-    # (one parquet file → one partition) would otherwise pin the whole
-    # stage to a single task; at corpus scale the input arrives
-    # many-partitioned and this is a cheap rebalance.
-    spark = df.sparkSession
-    src = df.repartition(spark.sparkContext.defaultParallelism)
-    sig = src.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(text_col, shingle_k), num_hashes).alias("_sig"),
-    )
-    # persist is load-bearing, not a cache hint: without a materialization
-    # barrier Catalyst's projection collapse inlines the 64-transform
-    # signature expression into every one of the 16 band structs on BOTH
-    # join sides (~1000× recompute per row — measured 436s → 9s at 5k docs).
-    # At corpus scale this stage is persisted as a signatures table anyway.
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("_sig", b * r + j + 1) for j in range(r)])
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", "bk.band", "bk.bh")
-    sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_n"))
-    capped = banded.join(
-        sizes.where(F.col("_n") <= max_bucket_size), on=["band", "bh"], how="inner"
-    ).drop("_n")
-    left = capped.alias("l")
-    right = capped.alias("r")
-    pairs = (
-        left.join(
+    sig, groups = _signatures_and_groups(df, id_col, text_col, num_hashes, shingle_k)
+    try:
+        # star pairs inside identical-signature groups: rep (min id) → member
+        star = (
+            sig.join(groups.select("_sigh", "_rid", "_m"), on="_sigh")
+            .where((F.col("_m") > 1) & (F.col("_id") != F.col("_rid")))
+            .select(F.col("_rid").alias("a"), F.col("_id").alias("b"))
+        )
+        banded = _banded_reps(groups, num_hashes, bands)
+        sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_n"))
+        capped = banded.join(
+            sizes.where(F.col("_n") <= max_bucket_size), on=["band", "bh"], how="inner"
+        ).drop("_n")
+        left = capped.alias("l")
+        right = capped.alias("r")
+        band_pairs = left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l._id") < F.col("r._id")),
+        ).select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        pairs = band_pairs.union(star).distinct()
+        # Materialize the (small) pair list eagerly so the persisted
+        # signature/group frames can be released — a long-lived session
+        # running many dedup passes must not accumulate block-store state.
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()
+        groups.unpersist()
+
+
+def minhash_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int = 64,
+) -> dict:
+    """Truncation observability: distribution of rep-level band-bucket
+    sizes and what ``max_bucket_size`` would drop. Returns a plain dict
+    (one job) — wire into bench output so capping is visible, not silent."""
+    sig, groups = _signatures_and_groups(df, id_col, text_col, num_hashes, shingle_k)
+    try:
+        sizes = _banded_reps(groups, num_hashes, bands).groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("_n")
         )
-        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
-        .distinct()
-    )
-    return pairs
+        row = sizes.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("_n").alias("max_bucket"),
+            F.expr("percentile_approx(_n, 0.99)").alias("p99_bucket"),
+            F.sum(F.when(F.col("_n") > max_bucket_size, 1).otherwise(0)).alias(
+                "buckets_dropped"
+            ),
+            F.sum(
+                F.when(
+                    F.col("_n") > max_bucket_size,
+                    F.col("_n") * (F.col("_n") - 1) / 2,
+                ).otherwise(0)
+            ).alias("candidate_pairs_dropped"),
+        ).first()
+        biggest_group = groups.agg(F.max("_m").alias("m")).first()["m"]
+        return {
+            "n_buckets": int(row["n_buckets"] or 0),
+            "max_bucket": int(row["max_bucket"] or 0),
+            "p99_bucket": int(row["p99_bucket"] or 0),
+            "buckets_dropped": int(row["buckets_dropped"] or 0),
+            "candidate_pairs_dropped": int(row["candidate_pairs_dropped"] or 0),
+            "max_identical_sig_group": int(biggest_group or 0),
+        }
+    finally:
+        sig.unpersist()
+        groups.unpersist()
 
 
 def ngram_jaccard(
@@ -279,17 +363,23 @@ def simhash_candidates(sim: DataFrame, id_col: str, blocks: int = 4) -> DataFram
     # barrier: without it the self-join recomputes the 64-sum simhash
     # aggregation once per side (see minhash_lsh_candidates note).
     parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
-    l, r = parts.alias("l"), parts.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.bits") == F.col("r.bits"))
-            & (F.col("l._id") < F.col("r._id")),
+    try:
+        l, r = parts.alias("l"), parts.alias("r")
+        pairs = (
+            l.join(
+                r,
+                (F.col("l.blk") == F.col("r.blk"))
+                & (F.col("l.bits") == F.col("r.bits"))
+                & (F.col("l._id") < F.col("r._id")),
+            )
+            .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+            .distinct()
         )
-        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
-        .distinct()
-    )
+        # eager-materialize the small pair list, then release the barrier —
+        # repeated invocations must not accumulate block-store state.
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        parts.unpersist()
 
 
 # ------------------------------------------------------- embedding cosine
@@ -347,16 +437,22 @@ def embedding_near_dups(
     # barrier: the hyperplane-signature expression (num_planes dot products
     # per row) must not be inlined into both self-join sides.
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    l, r = sigs.alias("l"), sigs.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id")),
-    ).select(
-        F.col("l._id").alias("a"),
-        F.col("r._id").alias("b"),
-        cosine(F.col("l._v"), F.col("r._v")).alias("cosine"),
-    )
-    return pairs.where(F.col("cosine") >= threshold)
+    try:
+        l, r = sigs.alias("l"), sigs.alias("r")
+        pairs = l.join(
+            r,
+            (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id")),
+        ).select(
+            F.col("l._id").alias("a"),
+            F.col("r._id").alias("b"),
+            cosine(F.col("l._v"), F.col("r._v")).alias("cosine"),
+        )
+        out = pairs.where(F.col("cosine") >= threshold)
+        # eager-materialize the (thresholded, small) pair list, release the
+        # barrier — see simhash_candidates note.
+        return out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
 
 
 def embedding_near_dups_brute(

@@ -137,3 +137,43 @@ def test_multimodal_stub_plumbing(spark):
     assert frames.count() > media.where("kind='video'").count()
     with pytest.raises(NotImplementedError):
         extract_image_features(media, decoder="real")
+
+
+def test_minhash_mega_cluster_recall_survives_cap(spark):
+    """ADVICE r1: a duplicate cluster larger than max_bucket_size shares the
+    same band hash in EVERY band, so capping dropped it entirely. Identical
+    signatures are now collapsed to a representative (star pairs), so the
+    cluster stays connected even with a tiny cap — O(m) pairs, not O(m²)."""
+    boiler = "exactly the same boilerplate license header text " * 10
+    uniq = [
+        (1000 + i, f"totally distinct document number {i} with its own words " * 8)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(100)] + uniq, ["doc_id", "text"]
+    )
+    pairs = {
+        (r.a, r.b)
+        for r in minhash_near_dups(
+            df, "doc_id", "text", threshold=0.9, max_bucket_size=8
+        ).collect()
+    }
+    # every cluster member connected to the representative (doc 0)
+    assert {(0, i) for i in range(1, 100)} <= pairs
+    # linear, not quadratic: star pairs only for the identical cluster
+    assert all(a == 0 for a, b in pairs if b < 1000)
+    assert not any(a >= 1000 or b >= 1000 for a, b in pairs)
+
+
+def test_minhash_bucket_stats_visibility(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.dedup import minhash_bucket_stats
+
+    df = spark.createDataFrame(
+        [(i, f"some document {i} body with shared phrasing and words") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    stats = minhash_bucket_stats(df, "doc_id", "text", max_bucket_size=4)
+    assert stats["n_buckets"] > 0
+    assert stats["max_bucket"] >= 1
+    assert stats["max_identical_sig_group"] >= 1
+    assert "candidate_pairs_dropped" in stats
