@@ -44,7 +44,7 @@ from techtalk_data_pipeline_snowpark_spark.functions.text import (
     sha256_hex,
     token_count,
 )
-from techtalk_data_pipeline_snowpark_spark.lake import LakeTable
+from techtalk_data_pipeline_snowpark_spark.lake import LakeTable, merge_into
 from techtalk_data_pipeline_snowpark_spark.lake.merge import delete as lake_delete
 from techtalk_data_pipeline_snowpark_spark.lake.merge import update as lake_update
 from techtalk_data_pipeline_snowpark_spark.operators.dedup import (
@@ -367,6 +367,57 @@ SELECT p_partkey, p_size, p_retailprice FROM u WHERE p_retailprice <= 1500
 """
 
 
+def merge_expression_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-ON MERGE parity (SampleCrud.scala:38-65: merge on
+    substring(code, 0, 4) of BOTH sides; SnowflakeUtilsOld.scala:84-109
+    arbitrary joinCriteria): target keyed by a synthetic code, source codes
+    carry a '-v2' suffix, the merge matches on the 9-char prefix; matched
+    rows take upper(source code) + source price, unmatched source rows
+    insert. Expression ON disables bucket pruning (full-table rewrite)."""
+    part = _t(spark, sf_dir, "part")
+    code = F.concat(F.lit("P"), F.lpad(F.col("p_partkey").cast("string"), 8, "0"))
+    tgt_df = part.where(F.col("p_partkey") <= 1500).select(
+        code.alias("code"), F.col("p_retailprice").alias("price")
+    )
+    src_df = part.where(F.col("p_partkey") % 4 == 0).select(
+        F.concat(code, F.lit("-v2")).alias("code"),
+        (F.col("p_retailprice") * 2).alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="exprmerge_")
+    tbl = LakeTable.create(
+        spark, os.path.join(root, "t"), tgt_df.schema, key_cols=["code"], num_buckets=4
+    )
+    tbl.append(tgt_df)
+    merge_into(
+        tbl,
+        src_df,
+        on=substring1(F.col("t.code"), 0, 9) == substring1(F.col("s.code"), 0, 9),
+        when_matched_update={
+            "code": F.upper(F.col("s.code")),
+            "price": F.col("s.price"),
+        },
+    )
+    return tbl.read()
+
+
+_MERGE_EXPR_ORACLE = """
+WITH t AS (
+  SELECT concat('P', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS code,
+         p_retailprice AS price
+  FROM part WHERE p_partkey <= 1500
+), s AS (
+  SELECT concat('P', lpad(CAST(p_partkey AS VARCHAR), 8, '0'), '-v2') AS code,
+         p_retailprice * 2 AS price
+  FROM part WHERE p_partkey % 4 = 0
+)
+SELECT CASE WHEN t.code IS NOT NULL AND s.code IS NOT NULL THEN upper(s.code)
+            WHEN t.code IS NOT NULL THEN t.code ELSE s.code END AS code,
+       CASE WHEN t.code IS NOT NULL AND s.code IS NOT NULL THEN s.price
+            WHEN t.code IS NOT NULL THEN t.price ELSE s.price END AS price
+FROM t FULL JOIN s ON substring(t.code, 1, 9) = substring(s.code, 1, 9)
+"""
+
+
 def ingest_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw→flat ingest parity (IngestOrdersFromRawToFlat.scala:36-98): land a
     JSON-array payload in a raw lake table, consume its stream, flatten
@@ -673,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": props_extract,
         "json_flatten_props": json_flatten_props,
         "crud_update_delete": crud_update_delete,
+        "merge_expression_key": merge_expression_key,
         "ingest_orders_roundtrip": ingest_orders_roundtrip,
         "exact_dedup_docs": exact_dedup_docs,
         "token_stats_docs": token_stats_docs,
@@ -701,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
         "props_extract": _PROPS_EXTRACT_ORACLE,
         "json_flatten_props": _PROPS_EXTRACT_ORACLE,
         "crud_update_delete": _CRUD_ORACLE,
+        "merge_expression_key": _MERGE_EXPR_ORACLE,
         "ingest_orders_roundtrip": _INGEST_ORACLE,
         "exact_dedup_docs": _EXACT_DEDUP_ORACLE,
         "token_stats_docs": _TOKEN_STATS_ORACLE,

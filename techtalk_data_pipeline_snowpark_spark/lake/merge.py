@@ -45,7 +45,7 @@ def _touched_buckets(source: DataFrame, key_cols: list[str], n: int) -> list[int
 def merge_into(
     table: LakeTable,
     source: DataFrame,
-    on: list[str] | None = None,
+    on: list[str] | Column | None = None,
     when_matched_update: dict[str, Column] | str | None = "all",
     when_matched_delete: Column | None = None,
     when_not_matched_insert: bool | Column = True,
@@ -56,6 +56,17 @@ def merge_into(
     snap=None,
 ) -> CommitResult:
     """MERGE INTO table USING source ON keys.
+
+    ``on``: either a list of key column NAMES (equi-merge; bucket pruning
+    applies when they are the table's bucketing keys), or an arbitrary
+    boolean join ``Column`` over aliases ``t`` (target) and ``s`` (source)
+    — expression ON, parity with the reference's computed-key merges
+    (SampleCrud.scala:38-65 ``substring(code,0,4)`` of BOTH sides;
+    SnowflakeUtilsOld.scala:84-109 arbitrary ``joinCriteria``). Expression
+    ON cannot bucket-prune (matches may live in any bucket), so the whole
+    table is rewritten — same caveat Snowflake has for non-clustered merge
+    keys. As in Snowflake's default (ERROR_ON_NONDETERMINISTIC_MERGE), the
+    caller must ensure at most one source row matches any target row.
 
     ``when_matched_update``: "all" replaces the full row with source values;
     a dict maps target column → expression over aliases ``t`` (target) and
@@ -74,12 +85,18 @@ def merge_into(
     ``expected_version = snap.version + 1`` and fails on a racing writer.
     """
     snap = snap if snap is not None else table.snapshot()
-    keys = on or snap.key_cols
-    if not keys:
-        raise ValueError("merge requires key columns")
+    on_expr: Column | None = None
+    if isinstance(on, Column):
+        on_expr, keys = on, []
+    else:
+        keys = on or snap.key_cols
+        if not keys:
+            raise ValueError("merge requires key columns or an ON expression")
     schema = snap.schema
     tcols = [f.name for f in schema.fields]
 
+    if validate_unique_keys and on_expr is not None:
+        raise ValueError("validate_unique_keys requires named key columns")
     if validate_unique_keys:
         total, distinct = source.select(
             F.count(F.lit(1)).alias("n"),
@@ -105,8 +122,11 @@ def merge_into(
     # Bucket pruning is sound ONLY when the merge keys are exactly the
     # table's bucketing keys (same columns, same order — F.hash is
     # order-sensitive): a file's bucket is pmod(hash(snap.key_cols), N), so
-    # matches for any other key set may live in any bucket.
-    can_prune = bool(snap.num_buckets) and list(keys) == list(snap.key_cols)
+    # matches for any other key set (or an expression ON) may live in any
+    # bucket.
+    can_prune = (
+        on_expr is None and bool(snap.num_buckets) and list(keys) == list(snap.key_cols)
+    )
     if can_prune:
         # callers that already aggregated per-bucket stats (the CDC engine's
         # offsets pass) hand the bucket list in — saves one source scan.
@@ -120,12 +140,27 @@ def merge_into(
     else:
         buckets, touched_files, untouched = None, list(snap.files), []
 
-    tgt = table._read_files(touched_files, schema).alias("t")
+    tgt = table._read_files(touched_files, schema)
 
     # ---- arbitration
-    joined = tgt.join(src, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], how="full_outer")
-    t_exists = F.col(f"t.{keys[0]}").isNotNull()
-    s_exists = F.col(f"s.{keys[0]}").isNotNull()
+    if on_expr is not None:
+        # expression ON: key columns can't signal row existence after the
+        # full outer join (the merge keys may be computed), so each side
+        # carries an explicit marker column instead.
+        tgt = tgt.withColumn("__t_exists", F.lit(1)).alias("t")
+        src = source.withColumn("__s_exists", F.lit(1)).alias("s")
+        joined = tgt.join(src, on=on_expr, how="full_outer")
+        t_exists = F.col("t.__t_exists").isNotNull()
+        s_exists = F.col("s.__s_exists").isNotNull()
+    else:
+        tgt = tgt.alias("t")
+        joined = tgt.join(
+            src,
+            on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+            how="full_outer",
+        )
+        t_exists = F.col(f"t.{keys[0]}").isNotNull()
+        s_exists = F.col(f"s.{keys[0]}").isNotNull()
     # NB: null keys — the CDC engine forbids null keys; eqNullSafe keeps the
     # join total anyway.
 

@@ -118,3 +118,53 @@ def test_delete_with_condition(spark, tmp_table_root):
     res = delete(t, F.col("v") > 100)
     assert res.summary["rows_affected"] == 2
     assert {r.k for r in t.read().collect()} == {"a"}
+
+
+def test_merge_expression_on_substring_both_sides(spark, tmp_table_root):
+    """Expression ON parity (SampleCrud.scala:38-65): merge on
+    substring(code,0,4) of BOTH sides, update size*100 + upper(code) on
+    match, insert the source row otherwise."""
+    from techtalk_data_pipeline_snowpark_spark.functions.shims import substring1
+
+    t = _t(spark, tmp_table_root, [("dist0001", 10, "old"), ("area0002", 20, "old")])
+    src = spark.createDataFrame(
+        [("DIST9999", 7, "src"), ("zone0003", 5, "src")], SCHEMA
+    )
+    res = merge_into(
+        t,
+        src,
+        on=substring1(F.lower(F.col("t.k")), 0, 4)
+        == substring1(F.lower(F.col("s.k")), 0, 4),
+        when_matched_update={
+            "v": F.col("s.v") * 100,
+            "k": F.upper(F.col("s.k")),
+        },
+    )
+    assert res.summary["rows_updated"] == 1 and res.summary["rows_inserted"] == 1
+    # expression ON cannot bucket-prune
+    assert res.summary["buckets_rewritten"] is None
+    got = {(r.k, r.v, r.tag) for r in t.read().collect()}
+    assert got == {
+        ("DIST9999", 700, "old"),   # matched dist0001 via 4-char prefix
+        ("area0002", 20, "old"),    # untouched
+        ("zone0003", 5, "src"),     # not matched → inserted
+    }
+
+
+def test_merge_expression_on_delete_branch(spark, tmp_table_root):
+    """Expression ON with a matched-delete branch (join-delete parity,
+    SnowflakeUtilsOld.scala:84-109 arbitrary joinCriteria)."""
+    t = _t(spark, tmp_table_root, [("aa-1", 1, "x"), ("bb-2", 2, "x"), ("cc-3", 3, "x")])
+    src = spark.createDataFrame([("AA-9", 0, "del"), ("BB-9", 99, "upd")], SCHEMA)
+    res = merge_into(
+        t,
+        src,
+        on=F.substring(F.lower(F.col("t.k")), 1, 2)
+        == F.substring(F.lower(F.col("s.k")), 1, 2),
+        when_matched_update="all",
+        when_matched_delete=F.col("s.tag") == "del",
+        when_not_matched_insert=False,
+    )
+    assert res.summary["rows_deleted"] == 1 and res.summary["rows_updated"] == 1
+    got = {(r.k, r.v, r.tag) for r in t.read().collect()}
+    assert got == {("BB-9", 99, "upd"), ("cc-3", 3, "x")}
