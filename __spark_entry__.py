@@ -582,26 +582,22 @@ def _as_double(vec):
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (exact ANN baseline): broadcast the small
-    query side, score JVM-side, two-stage top-k. Cosine rounded to 9dp
-    before ranking (id tie-break) so ranks are engine-independent."""
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+    query side, score JVM-side, two-stage top-k (per-partition local top-k
+    before the final per-query window — no task ever holds the full scored
+    set; operators/similarity.py). Cosine rounded to 9dp before ranking
+    (id tie-break) so ranks are engine-independent."""
+    from techtalk_data_pipeline_snowpark_spark.operators.similarity import (
+        cosine_topk_brute,
     )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv")
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
     )
-    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+    q = emb.where(F.col("vec_id") < 20)
+    return cosine_topk_brute(emb, q, k=5, round_digits=9).select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+        F.col("cosine").alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

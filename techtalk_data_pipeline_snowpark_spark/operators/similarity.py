@@ -19,15 +19,61 @@ from pyspark.sql import functions as F
 from .dedup import _dot, cosine
 
 
+def topk_per_key(
+    scored: DataFrame,
+    key_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+) -> DataFrame:
+    """Two-stage exact top-k by (order desc, tiebreak asc) per key.
+
+    Stage 1 reduces each *input partition* to its local top-k per key
+    (groupBy(key, spark_partition_id()) + sorted-slice aggregation — the
+    partial agg is map-local, so the shuffle carries ≤ k rows per
+    (key, partition), never the full scored set). Stage 2 ranks the
+    ≤ k·P survivors with the per-key window. A single-stage window would
+    put ALL N scored rows for one key on one task — with ~20 query keys
+    that is the whole corpus on 20 tasks, the r1 scale hazard.
+    """
+    top_struct = F.struct(
+        (-F.col(order_col)).alias("_neg"), F.col(tiebreak_col).alias("_tb")
+    )
+    local = scored.groupBy(key_col, F.spark_partition_id().alias("_p")).agg(
+        F.slice(F.array_sort(F.collect_list(top_struct)), 1, k).alias("_top")
+    )
+    cand = local.select(
+        key_col, F.explode("_top").alias("_t")
+    ).select(
+        key_col,
+        F.col("_t._tb").alias(tiebreak_col),
+        (-F.col("_t._neg")).alias(order_col),
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(key_col, tiebreak_col, order_col, "rank")
+    )
+
+
 def cosine_topk_brute(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Exact top-k: broadcast the (small) query side, score every corpus
-    row JVM-side (zip_with/aggregate dot product), two-stage top-k.
+    row JVM-side (zip_with/aggregate dot product), two-stage top-k (see
+    ``topk_per_key`` — no task ever holds the full scored set).
+
+    ``round_digits`` rounds the cosine BEFORE ranking (applied in stage 1
+    too, so the local top-k agrees with the final order) — cross-engine
+    deterministic ranks with the id tie-break.
 
     Output: (query_id, neighbor_id, cosine, rank) — excludes self-matches.
     """
@@ -35,16 +81,14 @@ def cosine_topk_brute(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cos = cosine(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        "query_id", "neighbor_id", cos.alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return topk_per_key(scored, "query_id", "cosine", "neighbor_id", k).select(
+        "query_id", "neighbor_id", "cosine", "rank"
     )
 
 
@@ -104,12 +148,7 @@ def cosine_topk_ivf(
         F.broadcast(q),
         (F.col("_cell") == F.col("_probe")) & (F.col("neighbor_id") != F.col("query_id")),
     ).select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    deduped = scored.dropDuplicates(["query_id", "neighbor_id"])  # multiprobe overlap
+    return topk_per_key(deduped, "query_id", "cosine", "neighbor_id", k).select(
+        "query_id", "neighbor_id", "cosine", "rank"
     )

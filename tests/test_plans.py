@@ -67,3 +67,48 @@ def test_filter_pushdown_through_projection(spark, sf_dir):
     )
     pf = " ".join(pushed_filters(q))
     assert "EqualTo(l_returnflag" in pf, pf
+
+
+def test_cosine_topk_is_two_stage(spark, sf_dir):
+    """The brute top-k must pre-reduce per (query, input partition) BEFORE
+    the per-query window — a single-stage window puts all N scored rows of
+    a query on one task (r1 'weak' finding). The plan must contain an
+    aggregate (the local top-k) upstream of the Window, and the window
+    input must come from exploding the k-sized local lists."""
+    from techtalk_data_pipeline_snowpark_spark.operators.similarity import (
+        cosine_topk_brute,
+    )
+    from techtalk_data_pipeline_snowpark_spark.plans.inspect import simple_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    out = cosine_topk_brute(emb, q, k=3)
+    plan = simple_plan(out)
+    agg_pos = plan.find("Aggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # physical plans print top-down: Window (downstream) appears BEFORE the
+    # aggregate feeding it
+    assert win_pos < agg_pos, plan
+    assert "Generate explode" in plan, plan
+    # correctness unchanged vs the single-stage reference computation
+    from pyspark.sql import Window as W
+
+    scored = out.select("query_id", "neighbor_id", "cosine", "rank").collect()
+    got = {(r.query_id, r.rank): r.neighbor_id for r in scored}
+    qq = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cc = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    from techtalk_data_pipeline_snowpark_spark.operators.dedup import cosine as _cos
+
+    ref_scored = cc.join(F.broadcast(qq), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", _cos(F.col("qv"), F.col("cv")).alias("c")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id").asc())
+    ref = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ref_scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3).collect()
+    }
+    assert got == ref
