@@ -451,6 +451,70 @@ FROM orders WHERE o_orderkey < 100
 """
 
 
+def employee_industry_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SampleStream J2 parity (SampleStream.scala:65-96): EMPLOYEE joined to
+    the INDUSTRY_CODE *stream* (lake incremental scan) on the COMPUTED key
+    ``district_code_first2 == substring1(upper(district_code), 0, 2)``,
+    appended to EMPLOYEE_INDUSTRY with the offset committing atomically.
+    Runs two generation batches + two ticks so the incremental path (not a
+    batch join) is what produces the rows. Data derives from testdata
+    tables so DuckDB reproduces it: employees ← customer⋈nation, industries
+    ← supplier⋈nation with lower-cased district codes."""
+    from techtalk_data_pipeline_snowpark_spark.lake import LakeTable
+    from techtalk_data_pipeline_snowpark_spark.pipeline.stream_sample import (
+        industry_stream_employee,
+    )
+
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    emp = (
+        cust.where(F.col("c_custkey") <= 300)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("employee_id"),
+            F.col("c_name").alias("employee_name"),
+            F.upper(substring1(F.lower(F.col("n_name")), 0, 2)).alias(
+                "district_code_first2"
+            ),
+        )
+    )
+    ind = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        F.col("s_suppkey").alias("industry_code"),
+        F.col("s_name").alias("industry_name"),
+        F.lower(F.col("n_name")).alias("district_code"),
+    )
+    root = tempfile.mkdtemp(prefix="empind_")
+    et = LakeTable.create(spark, os.path.join(root, "employee"), emp.schema)
+    et.append(emp)
+    it = LakeTable.create(spark, os.path.join(root, "industry_code"), ind.schema)
+    # two appends + a tick after each — the second tick must consume ONLY
+    # batch 2 (incremental), yet the final table equals the full batch join
+    it.append(ind.where(F.col("industry_code") % 2 == 0))
+    industry_stream_employee(spark, root)
+    it.append(ind.where(F.col("industry_code") % 2 == 1))
+    industry_stream_employee(spark, root)
+    return LakeTable(spark, os.path.join(root, "employee_industry")).read()
+
+
+_EMPLOYEE_INDUSTRY_ORACLE = """
+WITH emp AS (
+  SELECT c_custkey AS employee_id, c_name AS employee_name,
+         upper(substring(lower(n_name), 1, 2)) AS district_code_first2
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_custkey <= 300
+), ind AS (
+  SELECT s_suppkey AS industry_code, s_name AS industry_name,
+         lower(n_name) AS district_code
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT e.employee_id, e.employee_name, e.district_code_first2,
+       i.industry_code, i.industry_name, i.district_code
+FROM emp e JOIN ind i
+  ON e.district_code_first2 = substring(upper(i.district_code), 1, 2)
+"""
+
+
 # --------------------------------------------------- training-data ops
 
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crud_update_delete": crud_update_delete,
         "merge_expression_key": merge_expression_key,
         "ingest_orders_roundtrip": ingest_orders_roundtrip,
+        "employee_industry_join": employee_industry_join,
         "exact_dedup_docs": exact_dedup_docs,
         "token_stats_docs": token_stats_docs,
         "lang_id_docs": lang_id_docs,
@@ -751,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "crud_update_delete": _CRUD_ORACLE,
         "merge_expression_key": _MERGE_EXPR_ORACLE,
         "ingest_orders_roundtrip": _INGEST_ORACLE,
+        "employee_industry_join": _EMPLOYEE_INDUSTRY_ORACLE,
         "exact_dedup_docs": _EXACT_DEDUP_ORACLE,
         "token_stats_docs": _TOKEN_STATS_ORACLE,
         "lang_id_docs": _lang_id_oracle(),
