@@ -300,12 +300,19 @@ def _rewrite_matching_files(
     properties: dict | None,
     assignments: dict[str, Column] | None,
 ) -> CommitResult:
+    """Two jobs per mutation: (1) a predicate-pushed file-discovery scan,
+    (2) the rewrite of hit files with the affected-row count riding it via
+    Dataset.observe — no separate count probes (same trick MERGE uses;
+    r1 did 3-4 jobs here)."""
     import os
+    from uuid import uuid4
+
+    from pyspark.sql import Observation
 
     snap = table.snapshot()
     schema = snap.schema
     cond = F.lit(True) if condition is None else condition
-    df = table.read()
+    df = table._read_files(list(snap.files), schema)
     hit_files = [
         r["_f"]
         for r in df.withColumn("_f", F.input_file_name())
@@ -324,25 +331,32 @@ def _rewrite_matching_files(
             [], [], operation, properties=properties, summary={"rows_affected": 0}
         )
     sub = table._read_files(rel_hits, schema)
-    n_before = sub.count()
+    # SQL semantics: a NULL condition neither updates nor deletes the row.
+    flagged = sub.withColumn("__hit", F.coalesce(cond, F.lit(False)))
+    obs = Observation(f"{operation}-{uuid4().hex}")
+    # CollectMetrics is a pushdown barrier, so the observe sees every row of
+    # the hit files — which the rewrite must read anyway.
+    flagged = flagged.observe(
+        obs, F.sum(F.when(F.col("__hit"), 1).otherwise(0)).alias("matched")
+    )
     if operation == "delete":
-        out = sub.where(~cond)
-        n_after = out.count()
-        summary = {"rows_affected": n_before - n_after}
+        out = flagged.where(~F.col("__hit")).select(
+            *[F.col(f.name) for f in schema.fields]
+        )
     else:
         out_cols = []
         for f in schema.fields:
             if assignments and f.name in assignments:
                 out_cols.append(
-                    F.when(cond, assignments[f.name].cast(f.dataType))
+                    F.when(F.col("__hit"), assignments[f.name].cast(f.dataType))
                     .otherwise(F.col(f.name))
                     .alias(f.name)
                 )
             else:
                 out_cols.append(F.col(f.name))
-        out = sub.select(*out_cols)
-        summary = {"rows_affected": int(sub.where(cond).count())}
+        out = flagged.select(*out_cols)
     adds = table._stage_dataframe(out, schema, snap.num_buckets, snap.key_cols)
+    summary = {"rows_affected": int(obs.get.get("matched") or 0)}
     return table.commit_rewrite(
         adds=adds,
         removes=rel_hits,
