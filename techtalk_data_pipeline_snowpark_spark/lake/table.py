@@ -265,25 +265,126 @@ class LakeTable:
         # parquet vectorized reader (verified in tests).
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def read_incremental(self, start_version: int, end_version: int | None = None) -> DataFrame:
-        """Changelog scan: rows in files ADDED in (start_version, end_version].
+    def read_incremental(
+        self,
+        start_version: int,
+        end_version: int | None = None,
+        on_rewrite: str = "error",
+    ) -> DataFrame:
+        """Changelog scan: new/changed rows in (start_version, end_version].
 
         This is the Spark-side equivalent of a Snowflake stream read
         (SnowflakeUtils.scala:46-66): only changes since the last consumed
-        offset. Valid for append-only ranges; a merge/overwrite commit in
-        range raises (its adds are rewrites, not new rows).
+        offset. Append commits contribute their added files directly (a
+        file-list scan, no diff work). For merge/update/delete/overwrite
+        commits, ``on_rewrite`` picks the behavior:
+
+        - ``"error"`` (default): raise — the conservative contract for
+          consumers that assume append-only upstreams.
+        - ``"diff"``: snapshot-diff fallback — emit the commit's inserted +
+          updated (post-image) rows via ``read_changelog``; deletes are not
+          emitted (a row stream has nowhere to put them — consume
+          ``read_changelog`` directly if delete visibility is needed).
         """
         end_version = end_version if end_version is not None else self.latest_version()
         snap = self.snapshot(end_version)
         added: list[str] = []
+        rewrite_versions: list[int] = []
         for e in self.log_entries(start_version + 1, end_version):
-            if e.get("operation") not in ("append", "create"):
+            if e.get("operation") in ("append", "create"):
+                added.extend(a["path"] for a in e.get("add", []))
+            elif on_rewrite == "diff":
+                rewrite_versions.append(e["version"])
+            else:
                 raise ValueError(
                     f"incremental scan over non-append commit v{e['version']} "
-                    f"({e.get('operation')}); use a snapshot diff instead"
+                    f"({e.get('operation')}); pass on_rewrite='diff' or use "
+                    f"read_changelog"
                 )
-            added.extend(a["path"] for a in e.get("add", []))
-        return self._read_files(added, snap.schema)
+        out = self._read_files(added, snap.schema)
+        for v in rewrite_versions:
+            ch = self.read_changelog(v - 1, v).where(
+                F.col("_change_type") != "delete"
+            )
+            out = out.unionByName(
+                ch.drop("_change_type", "_commit_version"), allowMissingColumns=True
+            )
+        return out
+
+    def read_changelog(
+        self, start_version: int, end_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed for (start_version, end_version]: table
+        columns + ``_change_type`` (insert | update_postimage | delete) +
+        ``_commit_version``.
+
+        Append commits are insert rows straight from their added files. For
+        rewrite commits (merge/update/delete/overwrite) the changes are
+        recovered by a snapshot diff scoped to the commit's own add/remove
+        file sets — at 100 TB that is the touched buckets only, never the
+        whole table. ``exceptAll`` gives exact multiset semantics; when the
+        table has key columns, changed rows are split into updates (key
+        existed before) vs inserts, and pre-image rows whose key survives
+        are suppressed so an update emits exactly one post-image row.
+        """
+        end_version = end_version if end_version is not None else self.latest_version()
+        snap = self.snapshot(end_version)
+        schema = snap.schema
+        keys = snap.key_cols
+        spark = self.spark
+        pieces: list[DataFrame] = []
+
+        def _tag(df: DataFrame, change: str, version: int) -> DataFrame:
+            return df.select(
+                *[F.col(f.name) for f in schema.fields],
+                F.lit(change).alias("_change_type"),
+                F.lit(version).cast("long").alias("_commit_version"),
+            )
+
+        for e in self.log_entries(start_version + 1, end_version):
+            v = e["version"]
+            adds = [a["path"] for a in e.get("add", [])]
+            removes = e.get("remove", [])
+            op = e.get("operation")
+            if op in ("append", "create"):
+                if adds:
+                    pieces.append(_tag(self._read_files(adds, schema), "insert", v))
+                continue
+            if not adds and not removes:
+                continue  # metadata-only commit (evolve-schema, empty epoch)
+            new_rows = self._read_files(adds, schema)
+            old_rows = self._read_files(removes, schema)
+            changed = new_rows.exceptAll(old_rows)
+            removed = old_rows.exceptAll(new_rows)
+            if keys:
+                old_keys = old_rows.select(*keys).distinct()
+                new_keys = new_rows.select(*keys).distinct()
+                pieces.append(
+                    _tag(changed.join(old_keys, on=keys, how="leftsemi"),
+                         "update_postimage", v)
+                )
+                pieces.append(
+                    _tag(changed.join(old_keys, on=keys, how="left_anti"), "insert", v)
+                )
+                pieces.append(
+                    _tag(removed.join(new_keys, on=keys, how="left_anti"), "delete", v)
+                )
+            else:
+                pieces.append(_tag(changed, "insert", v))
+                pieces.append(_tag(removed, "delete", v))
+        if not pieces:
+            empty_schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            )
+            return spark.createDataFrame([], empty_schema)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
 
     # --------------------------------------------------------------- write
     def _stage_dataframe(

@@ -145,3 +145,36 @@ def test_log_checkpoint_roundtrip(spark, tmp_table_root):
     assert t.read().count() == 20
     # versioned read below the checkpoint still works
     assert t.snapshot(version=10).version == 10
+
+
+def test_read_changelog_across_merge(spark, tmp_table_root):
+    """Snapshot-diff changelog (r1 'named but not implemented'): a stream
+    consumer interleaved with merges gets row-level changes with types."""
+    from techtalk_data_pipeline_snowpark_spark.lake import merge_into
+
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=4)
+    t.append(_df(spark, [("a", "1", "v1"), ("b", "2", "v1"), ("c", "3", "v1")]))
+    v_after_append = t.latest_version()
+    src = _df(spark, [("a", "1", "v2"), ("d", "4", "v1"), ("b", "2", None)])
+    merge_into(
+        t, src, on=["repo", "path"],
+        when_matched_update="all",
+        when_matched_delete=F.col("s.content").isNull(),
+    )
+    ch = t.read_changelog(v_after_append).collect()
+    got = {(r.repo, r.path, r.content, r._change_type) for r in ch}
+    assert got == {
+        ("a", "1", "v2", "update_postimage"),
+        ("d", "4", "v1", "insert"),
+        ("b", "2", "v1", "delete"),
+    }
+    # incremental row stream across the merge: inserted+updated post-images
+    inc = t.read_incremental(v_after_append, on_rewrite="diff").collect()
+    rows = {(r.repo, r.path, r.content) for r in inc}
+    assert rows == {("a", "1", "v2"), ("d", "4", "v1")}
+    # default contract still refuses silently-wrong append-only reads
+    with pytest.raises(ValueError):
+        t.read_incremental(v_after_append)
+    # full-range changelog includes the initial appends as inserts
+    all_ch = t.read_changelog(1)
+    assert all_ch.where(F.col("_change_type") == "insert").count() >= 4
