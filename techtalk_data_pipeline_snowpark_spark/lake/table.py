@@ -400,10 +400,27 @@ class LakeTable:
         ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         if num_buckets:
             out = df.select(*ordered, bucket_expr(key_cols, num_buckets).alias("_b"))
-            # One shuffle keyed by bucket; each task writes its bucket's file.
-            out.repartition(num_buckets, "_b").write.partitionBy("_b").mode(
-                "overwrite"
-            ).parquet(staging)
+            # One shuffle keyed by (bucket, salt). Write parallelism is NOT
+            # capped at num_buckets: when the session has more task slots
+            # than buckets, a per-key salt splits each bucket into
+            # files_per_bucket files so every slot writes (r1 finding: the
+            # staging write was the serial tail whenever cores > buckets).
+            par = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", str(num_buckets))
+            )
+            files_per_bucket = max(1, par // num_buckets)
+            if files_per_bucket > 1:
+                salt = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in key_cols]),
+                    F.lit(files_per_bucket),
+                )
+                out.repartition(
+                    num_buckets * files_per_bucket, F.col("_b"), salt
+                ).write.partitionBy("_b").mode("overwrite").parquet(staging)
+            else:
+                out.repartition(num_buckets, "_b").write.partitionBy("_b").mode(
+                    "overwrite"
+                ).parquet(staging)
             for bdir in os.listdir(staging):
                 if not bdir.startswith("_b="):
                     continue

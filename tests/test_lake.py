@@ -178,3 +178,21 @@ def test_read_changelog_across_merge(spark, tmp_table_root):
     # full-range changelog includes the initial appends as inserts
     all_ch = t.read_changelog(1)
     assert all_ch.where(F.col("_change_type") == "insert").count() >= 4
+
+
+def test_staging_write_parallelism_exceeds_bucket_count(spark, tmp_table_root):
+    """With more task slots than buckets, each bucket may get multiple
+    files (salted split) — write parallelism is not capped at num_buckets;
+    reads and bucket pruning are unaffected."""
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2)
+    rows = [(f"r{i}", f"p{i}", f"c{i}") for i in range(500)]
+    t.append(_df(spark, rows))
+    snap = t.snapshot()
+    by_bucket = {}
+    for p, m in snap.files.items():
+        by_bucket.setdefault(m["bucket"], []).append(p)
+    # session runs 8 shuffle partitions vs 2 buckets → expect >1 file/bucket
+    assert any(len(v) > 1 for v in by_bucket.values()), by_bucket
+    assert t.read().count() == 500
+    got = {(r.repo, r.path, r.content) for r in t.read().collect()}
+    assert got == set(rows)
