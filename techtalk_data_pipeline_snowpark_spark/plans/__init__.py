@@ -9,6 +9,7 @@ shape in, not just the results.
 """
 
 from .inspect import (
+    column_shuffle_count,
     formatted_plan,
     has_partial_aggregation,
     has_broadcast_hash_join,
@@ -20,6 +21,7 @@ from .inspect import (
 )
 
 __all__ = [
+    "column_shuffle_count",
     "formatted_plan",
     "has_partial_aggregation",
     "has_broadcast_hash_join",

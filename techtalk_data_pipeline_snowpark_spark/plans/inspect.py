@@ -66,3 +66,35 @@ def has_partial_aggregation(df: DataFrame) -> bool:
 
 def wholestage_codegen_count(df: DataFrame) -> int:
     return len(re.findall(r"WholeStageCodegen", simple_plan(df)))
+
+
+def column_shuffle_count(
+    df: DataFrame,
+    col_name: str,
+    struct_markers: tuple[str, ...] = ("valueWithExtremumOrdering",),
+) -> int:
+    """Number of shuffle Exchange nodes whose input carries ``col_name`` —
+    e.g. how many times the payload 'content' column actually crosses a
+    shuffle (broadcast exchanges and key-only shuffles don't count).
+
+    ``struct_markers``: attribute names that wrap whole payload rows into a
+    struct and so hide the column name — max_by/min_by partial aggregation
+    shuffles its buffer as ``valueWithExtremumOrdering`` (Spark's
+    MaxByAndMinBy aggregate buffer); an Exchange carrying one of these IS a
+    payload shuffle."""
+    plan = formatted_plan(df)
+    n = 0
+    # formatted explain prints each node as "(k) Exchange" followed by an
+    # "Input [n]: [attrs...]" line and an "Arguments: hashpartitioning(...)"
+    for m in re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\nArguments: (\w+)",
+        plan,
+    ):
+        attrs, kind = m.group(1), m.group(2)
+        if not kind.startswith(("hashpartitioning", "rangepartitioning")):
+            continue
+        if re.search(rf"\b{re.escape(col_name)}#", attrs) or any(
+            mk in attrs for mk in struct_markers
+        ):
+            n += 1
+    return n

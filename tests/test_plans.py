@@ -112,3 +112,21 @@ def test_cosine_topk_is_two_stage(spark, sf_dir):
         .where(F.col("rank") <= 3).collect()
     }
     assert got == ref
+
+
+def test_payload_crosses_exactly_one_shuffle(spark):
+    """The CDC payload path (winner semi-join broadcast → max_by dedup):
+    content bytes must cross exactly ONE hash shuffle — the dedup groupBy,
+    whose key partitioning the MERGE join then reuses. The winner-key agg
+    shuffles too, but that frame is key/lsn/op only (no content)."""
+    from techtalk_data_pipeline_snowpark_spark.cdc.dedup import (
+        dedup_latest_via_winners,
+        winner_keys,
+    )
+    from techtalk_data_pipeline_snowpark_spark.fixtures.generators import change_events
+    from techtalk_data_pipeline_snowpark_spark.plans import column_shuffle_count
+
+    ev = change_events(spark, 3000, n_repos=10, paths_per_repo=20, seed=5)
+    winners = winner_keys(ev, ["repo", "path"])
+    dedup = dedup_latest_via_winners(ev, ["repo", "path"], winners, broadcast=True)
+    assert column_shuffle_count(dedup, "content") == 1
