@@ -72,6 +72,48 @@ def bench_cdc_replay(spark, n_events: int, epochs: int, workdir: str) -> dict:
     }
 
 
+def bench_skewed_dedup(spark, sf_dir: str) -> dict:
+    """Adversarially skewed corpus: the documents table plus a planted
+    2,000-copy boilerplate mega-cluster. Proves the LSH quadratic tail is
+    held by identical-signature collapse + the bucket cap (pairs grow
+    linearly in the cluster, and truncation is reported, not silent)."""
+    from pyspark.sql import functions as F
+
+    from techtalk_data_pipeline_snowpark_spark.operators.dedup import (
+        embedding_near_dups,
+        minhash_bucket_stats,
+        minhash_near_dups,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    boiler = spark.range(2000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit(
+            "standard license header boilerplate text repeated across the corpus " * 8
+        ).alias("text"),
+    )
+    skewed = docs.unionByName(boiler)
+    t0 = time.time()
+    pairs = minhash_near_dups(skewed, "doc_id", "text", threshold=0.8)
+    n_pairs = pairs.count()
+    minhash_sec = round(time.time() - t0, 3)
+    stats = minhash_bucket_stats(skewed, "doc_id", "text")
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t0 = time.time()
+    n_emb_pairs = embedding_near_dups(emb, "vec_id", "embedding", threshold=0.5).count()
+    emb_sec = round(time.time() - t0, 3)
+    return {
+        "minhash_skewed_sec": minhash_sec,
+        "minhash_skewed_pairs": n_pairs,
+        "minhash_bucket_stats": stats,
+        "embedding_lsh_sec": emb_sec,
+        "embedding_lsh_pairs": n_emb_pairs,
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -95,6 +137,8 @@ def main():
         "cosine_topk",
         "minhash_near_dup_docs",
         "simhash_docs",
+        "merge_expression_key",
+        "employee_industry_join",
         "cdc_replay_events",
     ]
     qs = entry_mod.queries()
@@ -111,6 +155,10 @@ def main():
         shutil.rmtree(workdir, ignore_errors=True)
     timings["cdc_replay_synthetic"] = round(cdc["replay_sec"], 3)
 
+    skew = bench_skewed_dedup(spark, sf_dir)
+    timings["minhash_skewed"] = skew["minhash_skewed_sec"]
+    timings["embedding_lsh"] = skew["embedding_lsh_sec"]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "end-to-end CDC replay→merge + analytics suite wall time",
@@ -124,6 +172,9 @@ def main():
             "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
             "cdc_final_rows": cdc["final_rows"],
             "cpus": cpus,
+            "minhash_skewed_pairs": skew["minhash_skewed_pairs"],
+            "minhash_bucket_stats": skew["minhash_bucket_stats"],
+            "embedding_lsh_pairs": skew["embedding_lsh_pairs"],
         },
     }
     print(json.dumps(out))

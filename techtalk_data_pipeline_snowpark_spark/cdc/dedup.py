@@ -82,18 +82,27 @@ def dedup_latest_via_winners(
     broadcast: bool = True,
 ) -> DataFrame:
     """Late-materialization dedup: semi-join the full-payload slice against
-    the winner (key, lsn) set, then a max_by pass for exact-duplicate
-    delivery defense.
+    the winner (key, lsn) set map-side (broadcast), then a max_by pass for
+    exact-duplicate delivery defense.
 
-    Payload bytes cross a shuffle at most ONCE: broadcast=True (winner set
-    fits the driver/executors) makes the semi-join map-side, and the
-    following groupBy provides the hash-partitioning that the downstream
-    MERGE join then reuses; broadcast=False shuffles on the key once and
-    both the max_by and the MERGE reuse that partitioning."""
+    Payload bytes cross a shuffle at most ONCE (the groupBy, whose key
+    hash-partitioning the downstream MERGE join reuses): broadcast=True
+    makes the semi-join a map-side filter — losing rows' content never
+    enters an aggregation buffer OR a shuffle.
+
+    broadcast=False does NOT shuffle a semi-join: joining on
+    (keys…, lsn) would hash-partition by all three columns, which the
+    following groupBy(keys) cannot reuse — the payload would cross TWO
+    shuffles (measured r2: the 'shuffled semi-join' path was
+    double-shuffling content). Instead it falls straight through to
+    ``dedup_latest``: the max_by partial aggregation collapses losing rows
+    map-side before the single key shuffle, which is strictly less payload
+    movement than semi-join + regroup when the winner set is too big to
+    broadcast."""
+    if not broadcast:
+        return dedup_latest(events, key_cols)
     w = winners.select(*key_cols, "lsn")
-    rows = events.join(
-        F.broadcast(w) if broadcast else w, on=[*key_cols, "lsn"], how="leftsemi"
-    )
+    rows = events.join(F.broadcast(w), on=[*key_cols, "lsn"], how="leftsemi")
     return dedup_latest(rows, key_cols)
 
 

@@ -53,6 +53,25 @@ ENGINE_COLS = {"op"}
 PROP_LAST_LSN = "cdc.last_lsn"
 PROP_EPOCH_ID = "cdc.epoch_id"
 
+_TIMING = bool(int(__import__("os").environ.get("SPARK_GRAFT_TIMING", "0")))
+
+
+class _Phase:
+    """Env-gated per-phase wall timer (SPARK_GRAFT_TIMING=1): prints one
+    line per apply_epoch phase so the serial per-epoch cost is visible."""
+
+    def __init__(self, epoch_id: int):
+        self.epoch_id = epoch_id
+        self.t = time.time()
+
+    def mark(self, name: str):
+        if _TIMING:
+            now = time.time()
+            print(f"[epoch {self.epoch_id}] {name}: {now - self.t:.2f}s", flush=True)
+            self.t = now
+        else:
+            self.t = time.time()
+
 
 @dataclass
 class EpochResult:
@@ -180,6 +199,7 @@ class CdcEngine:
         table = self.table()
         snap0 = table.snapshot() if table.exists() else None
         epoch_id = (int(snap0.properties.get(PROP_EPOCH_ID, 0)) if snap0 else 0) + 1
+        ph = _Phase(epoch_id)
         applied = int(snap0.properties.get(PROP_LAST_LSN, 0)) if snap0 else 0
         if applied >= lsn_to:
             return EpochResult(epoch_id - 1, lsn_from, lsn_to, 0, 0, 0, 0, skipped=True)
@@ -222,11 +242,13 @@ class CdcEngine:
         from pyspark import StorageLevel
 
         winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
+        ph.mark("setup+reconcile")
 
         stats = winners.groupBy(
             bucket_expr(self.key_cols, self.num_buckets).alias("_b")
         ).agg(F.max("lsn").alias("max_lsn"), F.count(F.lit(1)).alias("n"))
         stat_rows = stats.collect()
+        ph.mark("winner-stats-collect")
         n_events = int(sum(r["n"] for r in stat_rows))
         partition_offsets = {str(r["_b"]): int(r["max_lsn"]) for r in stat_rows}
 
@@ -243,6 +265,7 @@ class CdcEngine:
                 broadcast=n_events <= self.broadcast_key_limit,
             )
         dedup = self._transform(deduped_raw)
+        ph.mark("plan-build")
 
         if n_events == 0:
             res = table.commit_rewrite(
@@ -294,6 +317,7 @@ class CdcEngine:
             ),
             snap=snap_for_merge,
         )
+        ph.mark("merge+commit")
         winners.unpersist()
         return EpochResult(
             epoch_id, lsn_from, lsn_to, n_events,

@@ -130,3 +130,21 @@ def test_payload_crosses_exactly_one_shuffle(spark):
     winners = winner_keys(ev, ["repo", "path"])
     dedup = dedup_latest_via_winners(ev, ["repo", "path"], winners, broadcast=True)
     assert column_shuffle_count(dedup, "content") == 1
+
+
+def test_payload_single_shuffle_in_non_broadcast_mode(spark):
+    """broadcast=False must not double-shuffle content: it falls through to
+    plain dedup_latest (map-side max_by partial agg + ONE key shuffle) —
+    the (keys, lsn) semi-join partitioning could not be reused by the
+    groupBy and cost a second payload shuffle (r2 finding)."""
+    from techtalk_data_pipeline_snowpark_spark.cdc.dedup import (
+        dedup_latest_via_winners,
+        winner_keys,
+    )
+    from techtalk_data_pipeline_snowpark_spark.fixtures.generators import change_events
+    from techtalk_data_pipeline_snowpark_spark.plans import column_shuffle_count
+
+    ev = change_events(spark, 3000, n_repos=10, paths_per_repo=20, seed=5)
+    winners = winner_keys(ev, ["repo", "path"])
+    dedup = dedup_latest_via_winners(ev, ["repo", "path"], winners, broadcast=False)
+    assert column_shuffle_count(dedup, "content") == 1
