@@ -44,7 +44,7 @@ def run_replay(n_exec: int, cores: int, events: str, epochs: int, extra: dict) -
         "--py-files", os.path.join(ROOT, "dist", "engine.zip"),
         os.path.join(ROOT, "spark_submit_main.py"),
         "--events", events, "--table", f"/dev/shm/lake-probe/t{n_exec}x{cores}",
-        "--epochs", str(epochs),
+        "--epochs", str(epochs), "--broadcast-limit", os.environ.get("PROBE_BCAST", "0"),
     ]
     t0 = time.time()
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)

@@ -90,19 +90,31 @@ def dedup_latest_via_winners(
     makes the semi-join a map-side filter — losing rows' content never
     enters an aggregation buffer OR a shuffle.
 
-    broadcast=False does NOT shuffle a semi-join: joining on
-    (keys…, lsn) would hash-partition by all three columns, which the
-    following groupBy(keys) cannot reuse — the payload would cross TWO
-    shuffles (measured r2: the 'shuffled semi-join' path was
-    double-shuffling content). Instead it falls straight through to
-    ``dedup_latest``: the max_by partial aggregation collapses losing rows
-    map-side before the single key shuffle, which is strictly less payload
-    movement than semi-join + regroup when the winner set is too big to
-    broadcast."""
-    if not broadcast:
-        return dedup_latest(events, key_cols)
+    broadcast=False keeps the ONE payload shuffle by joining on the KEY
+    COLUMNS ONLY (winners are key-unique, so an inner join + post-filter
+    ``lsn == winner_lsn`` is the same semi-join) — joining on (keys…, lsn)
+    would make the planner shuffle by all three columns
+    (requireAllClusterKeysForCoPartition), which the following
+    groupBy(keys) could not reuse: content would cross TWO shuffles
+    (measured r2). The shuffle-hash hint makes the winner side build the
+    hash map while payload rows stream through unsorted (a sort-merge join
+    would sort content strings; a max_by-everything aggregation would hold
+    content in agg hash buffers — both measured slower under memory-
+    bandwidth pressure)."""
     w = winners.select(*key_cols, "lsn")
-    rows = events.join(F.broadcast(w), on=[*key_cols, "lsn"], how="leftsemi")
+    if broadcast:
+        rows = events.join(F.broadcast(w), on=[*key_cols, "lsn"], how="leftsemi")
+        return dedup_latest(rows, key_cols)
+    wr = w.withColumnRenamed("lsn", "_w_lsn")
+    rows = (
+        events.join(wr.hint("shuffle_hash"), on=list(key_cols), how="inner")
+        # winner lsn is the per-key MAX, so >= selects exactly the winner
+        # row(s); an == here would be inferred back into the join keys and
+        # re-introduce the (keys, lsn) shuffle. Duplicate delivery of the
+        # winner lsn is collapsed by the max_by pass below.
+        .where(F.col("lsn") >= F.col("_w_lsn"))
+        .drop("_w_lsn")
+    )
     return dedup_latest(rows, key_cols)
 
 
