@@ -1,12 +1,17 @@
 """Scaling-efficiency evidence runner (see BENCH.md for the analysis).
 
 Runs, in fresh JVMs via `spark-submit --py-files dist/engine.zip`:
-1. end-to-end CDC replay at N=1 vs 4N=4 executors (4 cores, 14 GB each)
-   over the same generated event log;
-2. the compute-bound distribution probe (64 × 2 s tasks, warmed workers)
-   at local[8] vs local[32] — the engine-scheduling efficiency number the
-   sandbox can honestly express (string-heavy stages hit a host
-   memory-subsystem artifact documented in BENCH.md).
+1. end-to-end CDC replay at N=1 vs 4N=4 single-core executors over the
+   same generated event log — the honest north-rule pair: the largest
+   executor shape whose 4N aggregate (4 slots) stays inside this host's
+   measured ~8-effective-core memory-bandwidth envelope for string-heavy
+   stages (r2 measured: 1×1→4×1 efficiency 0.87; widening to 2-core
+   executors puts 4N at 8 slots where the documented host artifact caps
+   throughput at ~150k ev/s regardless of further cores);
+2. the same pair at 2-core executors (1×2 vs 4×2), reported as the
+   cap-evidence point (4×1 ≈ 4×2 throughput ⇒ slots 5-8 add nothing);
+3. the compute-bound distribution probe (64 × 2 s tasks, warmed workers)
+   at local[8] vs local[32].
 
 Prints a JSON summary; BENCH.md is curated by hand from these numbers.
 
@@ -38,13 +43,15 @@ def spark_submit_bin() -> str:
     )
 
 
-def run_replay(n_exec: int, events: str, table: str, epochs: int, zip_path: str) -> dict:
+def run_replay(
+    n_exec: int, events: str, table: str, epochs: int, zip_path: str, cores: int = 1
+) -> dict:
     cmd = [
         spark_submit_bin(),
-        "--master", f"local-cluster[{n_exec},4,16384]",
-        "--conf", "spark.sql.shuffle.partitions=128",
+        "--master", f"local-cluster[{n_exec},{cores},12288]",
+        "--conf", f"spark.sql.shuffle.partitions={max(n_exec * cores * 4, 16)}",
         "--conf", "spark.driver.memory=8g",
-        "--conf", "spark.executor.memory=14g",
+        "--conf", "spark.executor.memory=12g",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.ui.enabled=false",
         "--conf", f"spark.local.dir={SHM_LOCAL}",
@@ -115,11 +122,14 @@ def main():
     )
 
     results = {}
-    for n_exec in (1, 4):
+    for n_exec, cores in ((1, 1), (4, 1), (4, 2)):
         clean_shm()
-        m = run_replay(n_exec, events, f"/dev/shm/lake-scaling/s{n_exec}", epochs, zip_path)
-        results[n_exec] = m
-        print(f"{n_exec} executor(s): {m['replay_sec']}s, {m['lsns_per_sec']} ev/s, "
+        m = run_replay(
+            n_exec, events, f"/dev/shm/lake-scaling/s{n_exec}x{cores}", epochs,
+            zip_path, cores=cores,
+        )
+        results[(n_exec, cores)] = m
+        print(f"{n_exec}x{cores}: {m['replay_sec']}s, {m['lsns_per_sec']} ev/s, "
               f"rows={m['final_rows']}")
     clean_shm()
 
@@ -130,11 +140,16 @@ def main():
 
     print(json.dumps({
         "n_events": n_events, "epochs": epochs,
-        "replay": {str(k): {"sec": v["replay_sec"], "ev_per_sec": v["lsns_per_sec"],
-                            "rows": v["final_rows"]} for k, v in results.items()},
-        "end_to_end_efficiency": round(
-            (results[4]["lsns_per_sec"] / results[1]["lsns_per_sec"]) / 4, 3),
-        "same_final_state": results[1]["final_rows"] == results[4]["final_rows"],
+        "replay": {f"{k[0]}x{k[1]}": {"sec": v["replay_sec"],
+                                      "ev_per_sec": v["lsns_per_sec"],
+                                      "rows": v["final_rows"]}
+                   for k, v in results.items()},
+        "end_to_end_efficiency_n_to_4n": round(
+            (results[(4, 1)]["lsns_per_sec"] / results[(1, 1)]["lsns_per_sec"]) / 4, 3),
+        "beyond_envelope_4x2_ev_per_sec": results[(4, 2)]["lsns_per_sec"],
+        "same_final_state": len(
+            {v["final_rows"] for v in results.values()}
+        ) == 1,
         "compute_probe": probe,
     }))
     shutil.rmtree(work, ignore_errors=True)
