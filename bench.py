@@ -103,7 +103,12 @@ def bench_skewed_dedup(spark, sf_dir: str) -> dict:
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     t0 = time.time()
-    n_emb_pairs = embedding_near_dups(emb, "vec_id", "embedding", threshold=0.5).count()
+    # 8 planes → 256 buckets over ~5k vectors: buckets hold ~20 vectors so
+    # the within-bucket verify actually exercises pairs (12 planes gives
+    # ~1 vector/bucket at this scale — zero candidates)
+    n_emb_pairs = embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=8
+    ).count()
     emb_sec = round(time.time() - t0, 3)
     return {
         "minhash_skewed_sec": minhash_sec,
