@@ -407,15 +407,16 @@ def embedding_near_dups(
     Scale path: random-hyperplane LSH bucket (num_planes sign bits, seeded
     deterministic planes via xxhash of the dimension index — no driver
     state), verify cosine only within buckets. Pairs (a<b, cosine)."""
+    from .similarity import _plane_component
+
+    # deterministic pseudo-gaussian-ish plane components in [-1,1]; the
+    # factory avoids the two-parameter-lambda index-shadowing trap (see
+    # similarity._plane_component)
     dim_planes = F.array(
         *[
             F.transform(
                 F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                # deterministic pseudo-gaussian-ish plane component in [-1,1]
-                lambda d, p=p: (
-                    F.pmod(F.xxhash64(d.cast("string"), F.lit(f"plane{p}")), F.lit(2001)) - 1000
-                ).cast("double")
-                / 1000.0,
+                _plane_component(f"plane{p}"),
             )
             for p in range(num_planes)
         ]

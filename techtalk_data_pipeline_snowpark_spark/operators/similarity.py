@@ -92,15 +92,27 @@ def cosine_topk_brute(
     )
 
 
+def _plane_component(seed: str):
+    """Single-argument lambda factory: a two-parameter lambda (even with a
+    default, e.g. ``lambda d, p=p``) is treated by PySpark's transform as
+    (element, index) — the index Column would silently shadow the seed and
+    make the plane depend on internal plan ids (r2 bug: persisted and
+    recomputed IVF cells disagreed)."""
+
+    def fn(d):
+        return (
+            F.pmod(F.xxhash64(d.cast("string"), F.lit(seed)), F.lit(2001)) - 1000
+        ).cast("double") / 1000.0
+
+    return fn
+
+
 def _lsh_cell(vec_col, num_planes: int):
     dim_planes = F.array(
         *[
             F.transform(
                 F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                lambda d, p=p: (
-                    F.pmod(F.xxhash64(d.cast("string"), F.lit(f"ivf{p}")), F.lit(2001)) - 1000
-                ).cast("double")
-                / 1000.0,
+                _plane_component(f"ivf{p}"),
             )
             for p in range(num_planes)
         ]
@@ -118,9 +130,66 @@ def _lsh_cell(vec_col, num_planes: int):
 def assign_ivf_cells(
     df: DataFrame, vec_col: str = "embedding", num_planes: int = 6
 ) -> DataFrame:
-    """Write-time cell assignment (at scale: persisted + partitioned by
-    cell so a probe is a partition-pruned scan)."""
+    """Cell assignment (see build_ivf_index for the persisted form)."""
     return df.withColumn("_cell", _lsh_cell(vec_col, num_planes))
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+) -> None:
+    """Write-time IVF index: the corpus persisted as parquet PARTITIONED BY
+    its LSH cell. At 100 TB this is the scale path the transient
+    ``cosine_topk_ivf`` only simulates: a query probe becomes a
+    partition-pruned scan of |probed cells| directories instead of a full
+    corpus scan — Spark's dynamic partition pruning drives the skip from
+    the (broadcast) probe side at runtime."""
+    out = assign_ivf_cells(df, vec_col, num_planes).select(
+        F.col(id_col), F.col(vec_col), "_cell"
+    )
+    # one file per cell directory (cells ≈ 2^num_planes, each ~N/cells rows)
+    out.repartition(F.col("_cell")).write.mode("overwrite").partitionBy(
+        "_cell"
+    ).parquet(index_root)
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    index_root: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 6,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k over a persisted IVF index (build_ivf_index): the probe
+    joins the broadcast query cells against the partition column, so the
+    parquet scan reads ONLY the probed cell directories (dynamic partition
+    pruning — asserted by plan test). num_planes must match the index."""
+    corpus = spark.read.parquet(index_root)
+    q0 = assign_ivf_cells(queries, vec_col, num_planes).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "_cell"
+    )
+    probes = [F.col("_cell")]
+    for b in range(min(multiprobe, num_planes)):
+        probes.append(F.col("_cell").bitwiseXOR(F.lit(1 << b)))
+    q = q0.withColumn("_probe", F.explode(F.array(*probes))).drop("_cell")
+    scored = corpus.join(
+        F.broadcast(q),
+        (F.col("_cell") == F.col("_probe")) & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qv"), F.col(vec_col)).alias("cosine"),
+    )
+    deduped = scored.dropDuplicates(["query_id", "neighbor_id"])
+    return topk_per_key(deduped, "query_id", "cosine", "neighbor_id", k).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
 
 
 def cosine_topk_ivf(

@@ -236,3 +236,30 @@ def test_multimodal_real_header_decode(spark):
     got = {r.media_id: (r.width, r.height, r.format)
            for r in extract_image_features(media, decoder="real").collect()}
     assert got == {1: (37, 21, "png"), 2: (640, 480, "jpeg"), 3: (320, 200, "gif")}
+
+
+def test_ivf_indexed_matches_transient_and_prunes_partitions(spark, emb, tmp_path):
+    """Persisted IVF index (r1: 'described but not implemented'): results
+    must equal the transient cell-join variant, and the probe's parquet
+    scan must carry a dynamic partition-pruning filter on the cell column
+    (the 100 TB property: a probe reads |probed cells| directories, not
+    the corpus)."""
+    from techtalk_data_pipeline_snowpark_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        cosine_topk_ivf_indexed,
+    )
+    from techtalk_data_pipeline_snowpark_spark.plans.inspect import formatted_plan
+
+    root = str(tmp_path / "ivf")
+    build_ivf_index(emb, root, num_planes=4)
+    queries = emb.where("vec_id < 10")
+    indexed = cosine_topk_ivf_indexed(
+        spark, root, queries, k=5, num_planes=4, multiprobe=2
+    )
+    plan = formatted_plan(indexed)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    transient = cosine_topk_ivf(emb, queries, k=5, num_planes=4, multiprobe=2)
+    got = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9)) for r in indexed.collect()}
+    ref = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9)) for r in transient.collect()}
+    assert got == ref and got
