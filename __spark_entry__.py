@@ -114,6 +114,57 @@ SELECT user_id, lsn, event_type, value FROM latest WHERE rn = 1 AND op <> 'delet
 """
 
 
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under replay (north_rule pillar; SURVEY.md §6 hard
+    part c): phase-1 events carry (status, qty:int); phase-2 events ADD a
+    column (priority) and WIDEN qty to bigint. The engine's reconciliation
+    pass evolves the table before the merge-apply; phase-1 survivors read
+    with null priority and upcast qty. Exact DuckDB oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    p1 = orders.where(F.col("o_orderkey") <= 800).select(
+        (F.col("o_orderkey") + 1).cast("long").alias("lsn"),
+        F.lit("upsert").alias("op"),
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_custkey").cast("int").alias("qty"),
+    )
+    p2 = orders.where(F.col("o_orderkey").between(400, 1200)).select(
+        (F.col("o_orderkey") + 1_000_000).cast("long").alias("lsn"),
+        F.lit("upsert").alias("op"),
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_custkey").cast("bigint") + 10).alias("qty"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    root = tempfile.mkdtemp(prefix="evolve_")
+    eng = CdcEngine(spark, os.path.join(root, "t"), key_cols=("k",), num_buckets=4)
+    eng.replay(p1, max_lsn=801, epoch_size=10**9)
+    eng.replay(p2, max_lsn=1_001_200, epoch_size=10**9)
+    return eng.read_state().select("k", "lsn", "status", "qty", "priority")
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+WITH p1 AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_orderkey + 1 AS BIGINT) AS lsn,
+         o_orderstatus AS status, CAST(o_custkey AS INTEGER) AS qty
+  FROM orders WHERE o_orderkey <= 800
+), p2 AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(o_orderkey + 1000000 AS BIGINT) AS lsn,
+         o_orderstatus AS status,
+         CAST(o_custkey AS BIGINT) + 10 AS qty,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey BETWEEN 400 AND 1200
+)
+SELECT coalesce(p2.k, p1.k) AS k,
+       coalesce(p2.lsn, p1.lsn) AS lsn,
+       coalesce(p2.status, p1.status) AS status,
+       CASE WHEN p2.k IS NOT NULL THEN p2.qty ELSE CAST(p1.qty AS BIGINT) END AS qty,
+       p2.priority AS priority
+FROM p1 FULL JOIN p2 ON p1.k = p2.k
+"""
+
+
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's core dedup operator alone: last-writer-wins per key via
     max_by partial aggregation (SURVEY.md §2.4 A4 generalization)."""
@@ -774,6 +825,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_events": cdc_replay_events,
+        "cdc_schema_evolution": cdc_schema_evolution,
         "latest_event_per_user": latest_event_per_user,
         "q1_pricing_summary": q1_pricing_summary,
         "dq_overpaid": dq_overpaid,
@@ -804,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_events": _CDC_REPLAY_ORACLE,
+        "cdc_schema_evolution": _SCHEMA_EVOLUTION_ORACLE,
         "latest_event_per_user": _LATEST_EVENT_ORACLE,
         "q1_pricing_summary": _Q1_ORACLE,
         "dq_overpaid": _DQ_OVERPAID_ORACLE,

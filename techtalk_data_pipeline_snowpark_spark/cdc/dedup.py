@@ -25,15 +25,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _order_key():
-    return F.struct(F.col("lsn"), F.col("ts"), F.col("op"))
+def _order_key(columns=None):
+    """Deterministic winner ordering: lsn, then ts/op tie-breakers when the
+    log carries them (a minimal log may have only lsn+op)."""
+    cols = ["lsn"] + [c for c in ("ts", "op") if columns is None or c in columns]
+    return F.struct(*[F.col(c) for c in cols])
 
 
 def dedup_latest(events: DataFrame, key_cols: list[str]) -> DataFrame:
     """Last-writer-wins per key via max_by (partial-agg friendly)."""
     payload_cols = [c for c in events.columns if c not in key_cols]
     agg = events.groupBy(*key_cols).agg(
-        F.max_by(F.struct(*[F.col(c) for c in payload_cols]), _order_key()).alias("_w")
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols]), _order_key(events.columns)
+        ).alias("_w")
     )
     return agg.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
 
@@ -50,11 +55,12 @@ def dedup_latest_salted(
     salted = events.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(num_salts)))
     p1 = salted.groupBy(*key_cols, "_salt").agg(
         F.max_by(
-            F.struct(*[F.col(c) for c in payload_cols]), _order_key()
+            F.struct(*[F.col(c) for c in payload_cols]), _order_key(events.columns)
         ).alias("_w")
     )
+    order2 = ["_w.lsn"] + [f"_w.{c}" for c in ("ts", "op") if c in events.columns]
     p2 = p1.groupBy(*key_cols).agg(
-        F.max_by(F.col("_w"), F.struct("_w.lsn", "_w.ts", "_w.op")).alias("_w")
+        F.max_by(F.col("_w"), F.struct(*order2)).alias("_w")
     )
     return p2.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
 
