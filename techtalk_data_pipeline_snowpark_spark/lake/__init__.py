@@ -1,7 +1,9 @@
 from .merge import delete, merge_into, update
 from .table import CommitResult, ConcurrentCommitError, LakeTable, Snapshot, bucket_expr
+from .views import ViewCatalog
 
 __all__ = [
+    "ViewCatalog",
     "CommitResult",
     "ConcurrentCommitError",
     "LakeTable",

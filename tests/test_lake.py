@@ -196,3 +196,30 @@ def test_staging_write_parallelism_exceeds_bucket_count(spark, tmp_table_root):
     assert t.read().count() == 500
     got = {(r.repo, r.path, r.content) for r in t.read().collect()}
     assert got == set(rows)
+
+
+def test_view_catalog_persists_and_reattaches(spark, tmp_table_root):
+    """Persisted views (TopRestaurantsLast30Days.scala:38 parity): survive
+    'session restart' (temp views dropped), resolve view-on-view
+    dependencies regardless of registration order."""
+    from techtalk_data_pipeline_snowpark_spark.lake import ViewCatalog
+
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2)
+    t.append(_df(spark, [("r1", "a.py", "x"), ("r1", "b.py", "y"), ("r2", "c.py", "z")]))
+    cat = ViewCatalog(spark, tmp_table_root)
+    cat.attach(tables={"files": t})
+    # view-on-view, created in dependency order
+    cat.create_or_replace("r1_files", "SELECT * FROM files WHERE repo = 'r1'")
+    cat.create_or_replace("r1_count", "SELECT count(*) AS n FROM r1_files")
+    assert cat.table("r1_count").first().n == 2
+
+    # simulate session restart: all temp views gone
+    for v in ("files", "r1_files", "r1_count"):
+        spark.catalog.dropTempView(v)
+    order = ViewCatalog(spark, tmp_table_root).attach(tables={"files": t})
+    assert set(order) == {"r1_files", "r1_count"}
+    assert spark.table("r1_count").first().n == 2
+    # definitions are inspectable; drop removes persistence
+    assert "repo = 'r1'" in cat.definition("r1_files")
+    assert cat.drop("r1_count")
+    assert "r1_count" not in ViewCatalog(spark, tmp_table_root).names()
