@@ -393,6 +393,7 @@ class LakeTable:
         schema: T.StructType,
         num_buckets: int | None,
         key_cols: list[str],
+        files_per_bucket: int | None = None,
     ) -> list[dict]:
         """Write df into data/ and return add-entries (not yet committed)."""
         staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
@@ -405,10 +406,13 @@ class LakeTable:
             # than buckets, a per-key salt splits each bucket into
             # files_per_bucket files so every slot writes (r1 finding: the
             # staging write was the serial tail whenever cores > buckets).
-            par = int(
-                self.spark.conf.get("spark.sql.shuffle.partitions", str(num_buckets))
-            )
-            files_per_bucket = max(1, par // num_buckets)
+            if files_per_bucket is None:
+                par = int(
+                    self.spark.conf.get(
+                        "spark.sql.shuffle.partitions", str(num_buckets)
+                    )
+                )
+                files_per_bucket = max(1, par // num_buckets)
             if files_per_bucket > 1:
                 salt = F.pmod(
                     F.xxhash64(*[F.col(c) for c in key_cols]),
@@ -499,10 +503,58 @@ class LakeTable:
         return self._commit(entry, expected_version=expected_version)
 
     # ------------------------------------------------------------- utility
-    def vacuum(self) -> int:
-        """Delete data files not referenced by the latest snapshot (orphans
-        from failed commits / rewritten buckets). Returns count removed."""
-        live = {os.path.join(self.root, p) for p in self.snapshot().files}
+    def compact(self, max_files_per_bucket: int = 1) -> CommitResult:
+        """OPTIMIZE: rewrite buckets whose file count exceeds the target
+        into consolidated files (1 file per compacted bucket). The row set
+        is unchanged — read_changelog emits NOTHING for a compact commit
+        (the snapshot diff cancels exactly), so stream consumers are
+        unaffected. A long CDC tail runs this periodically; at 100 TB it
+        is the same touched-bucket-scoped rewrite a merge does, minus the
+        join."""
+        snap = self.snapshot()
+        if snap.num_buckets:
+            by_bucket: dict[int, list[str]] = {}
+            for p, m in snap.files.items():
+                by_bucket.setdefault(m.get("bucket"), []).append(p)
+            victims = [
+                p
+                for b, paths in by_bucket.items()
+                if len(paths) > max_files_per_bucket
+                for p in paths
+            ]
+            if not victims:
+                return CommitResult(version=snap.version, summary={"files_compacted": 0})
+            df = self._read_files(victims, snap.schema)
+            adds = self._stage_dataframe(
+                df, snap.schema, snap.num_buckets, snap.key_cols, files_per_bucket=1
+            )
+        else:
+            victims = list(snap.files)
+            if len(victims) <= max_files_per_bucket:
+                return CommitResult(version=snap.version, summary={"files_compacted": 0})
+            df = self._read_files(victims, snap.schema).coalesce(1)
+            adds = self._stage_dataframe(df, snap.schema, None, [])
+        return self.commit_rewrite(
+            adds=adds,
+            removes=victims,
+            operation="compact",
+            summary={"files_compacted": len(victims), "files_written": len(adds)},
+            expected_version=snap.version + 1,
+        )
+
+    def vacuum(self, retain_versions: int = 0) -> int:
+        """Delete data files not referenced by the retained snapshots
+        (orphans from failed commits / rewritten buckets).
+
+        ``retain_versions=K`` keeps files referenced by the last K+1
+        snapshots, so time-travel reads within that horizon stay valid
+        (Iceberg expire-snapshots semantics). Returns count removed."""
+        latest = self.latest_version()
+        live: set[str] = set()
+        for v in range(max(1, latest - retain_versions), latest + 1):
+            live.update(
+                os.path.join(self.root, p) for p in self.snapshot(v).files
+            )
         removed = 0
         for dirpath, _, files in os.walk(os.path.join(self.root, DATA_DIR)):
             for fn in files:

@@ -223,3 +223,35 @@ def test_view_catalog_persists_and_reattaches(spark, tmp_table_root):
     assert "repo = 'r1'" in cat.definition("r1_files")
     assert cat.drop("r1_count")
     assert "r1_count" not in ViewCatalog(spark, tmp_table_root).names()
+
+
+def test_compact_consolidates_files_invisible_to_changelog(spark, tmp_table_root):
+    """OPTIMIZE: many small files → 1/bucket; rows unchanged; the compact
+    commit is INVISIBLE to the changelog (snapshot diff cancels), and
+    versioned reads before the compact still work until vacuumed."""
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2)
+    for i in range(6):
+        t.append(_df(spark, [(f"r{i}", f"p{i}", f"c{i}"), (f"s{i}", f"q{i}", f"d{i}")]))
+    v_before = t.latest_version()
+    n_files_before = len(t.snapshot().files)
+    assert n_files_before > 2
+    res = t.compact()
+    assert res.summary["files_compacted"] == n_files_before
+    assert len(t.snapshot().files) <= 2  # one per bucket
+    assert t.read().count() == 12
+    # changelog across the compact: zero change rows
+    assert t.read_changelog(v_before).count() == 0
+    # incremental consumer with diff fallback also sees nothing
+    assert t.read_incremental(v_before, on_rewrite="diff").count() == 0
+    # time travel to pre-compact still resolves (files retained)
+    assert t.read(version=v_before).count() == 12
+    # retention-aware vacuum: retaining the pre-compact version keeps its
+    # files (time travel stays valid)...
+    assert t.vacuum(retain_versions=1) == 0
+    assert t.read(version=v_before).count() == 12
+    # ...dropping retention removes the compacted-away small files
+    removed = t.vacuum(retain_versions=0)
+    assert removed > 0
+    assert t.read().count() == 12
+    # idempotent compact: second call is a no-op commit-free result
+    assert t.compact().summary["files_compacted"] == 0
