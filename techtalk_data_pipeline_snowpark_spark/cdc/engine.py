@@ -189,9 +189,39 @@ class CdcEngine:
         lsn_from: int,
         lsn_to: int,
         lineage: dict | None = None,
+        _retries: int = 3,
     ) -> EpochResult:
         """Apply the epoch ``(lsn_from, lsn_to]``. Idempotent: if the table
         already recorded lsn >= lsn_to, the epoch is skipped outright.
+
+        Safe under COMPETING replayers: every data commit pins its expected
+        version (optimistic concurrency), so a racing writer cannot corrupt
+        state — the loser's commit raises, and this wrapper re-checks the
+        table: if the rival applied the same epoch, the result is a skip
+        (exactly-once effects across processes); if the rival's commit was
+        unrelated, the epoch recomputes against the fresh snapshot. Staged
+        files of a lost race are unreferenced orphans (vacuum cleans them).
+        """
+        from ..lake import ConcurrentCommitError
+
+        try:
+            return self._apply_epoch_once(events, lsn_from, lsn_to, lineage)
+        except ConcurrentCommitError:
+            if self.last_lsn() >= lsn_to:
+                epoch_id = self.last_epoch_id()
+                return EpochResult(epoch_id, lsn_from, lsn_to, 0, 0, 0, 0, skipped=True)
+            if _retries <= 0:
+                raise
+            return self.apply_epoch(events, lsn_from, lsn_to, lineage, _retries - 1)
+
+    def _apply_epoch_once(
+        self,
+        events: DataFrame,
+        lsn_from: int,
+        lsn_to: int,
+        lineage: dict | None = None,
+    ) -> EpochResult:
+        """One optimistic attempt — see apply_epoch for the retry contract.
 
         The table snapshot is read ONCE per epoch (shared with offsets,
         reconciliation, and the merge) — a long replay stays O(epochs)
@@ -212,15 +242,32 @@ class CdcEngine:
         if snap0 is not None:
             evolved, added, widened = reconcile(snap0.schema, batch_target_schema)
         else:
-            table = LakeTable.create(
-                self.spark,
-                self.table_root,
-                batch_target_schema,
-                key_cols=self.key_cols,
-                num_buckets=self.num_buckets,
-            )
-            snap0 = table.snapshot()
-            evolved, added, widened = batch_target_schema, [], []
+            from ..lake import ConcurrentCommitError
+
+            try:
+                table = LakeTable.create(
+                    self.spark,
+                    self.table_root,
+                    batch_target_schema,
+                    key_cols=self.key_cols,
+                    num_buckets=self.num_buckets,
+                )
+                snap0 = table.snapshot()
+                evolved, added, widened = batch_target_schema, [], []
+            except (FileExistsError, ConcurrentCommitError):
+                # a competing replayer created the table between our
+                # existence check and the create — adopt its table. Its v1
+                # commit may still be in flight (we can see the rival's
+                # tmp file before the atomic link lands): wait it out.
+                for _ in range(100):
+                    try:
+                        snap0 = table.snapshot()
+                        break
+                    except FileNotFoundError:
+                        time.sleep(0.05)
+                else:
+                    raise
+                evolved, added, widened = reconcile(snap0.schema, batch_target_schema)
         # The engine's bucket ids (offsets manifest + merge pruning hints)
         # are only meaningful if they agree with how the table's files were
         # actually bucketed. On mismatch (engine constructed with different
@@ -243,7 +290,18 @@ class CdcEngine:
 
         winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
         ph.mark("setup+reconcile")
+        try:
+            return self._epoch_body(
+                table, snap0, winners, sliced, evolved, added, widened,
+                buckets_trusted, epoch_id, lsn_from, lsn_to, lineage, ph,
+            )
+        finally:
+            winners.unpersist()
 
+    def _epoch_body(
+        self, table, snap0, winners, sliced, evolved, added, widened,
+        buckets_trusted, epoch_id, lsn_from, lsn_to, lineage, ph,
+    ) -> EpochResult:
         stats = winners.groupBy(
             bucket_expr(self.key_cols, self.num_buckets).alias("_b")
         ).agg(F.max("lsn").alias("max_lsn"), F.count(F.lit(1)).alias("n"))
@@ -279,8 +337,8 @@ class CdcEngine:
                     ),
                 },
                 summary={"rows_inserted": 0, "rows_updated": 0, "rows_deleted": 0},
+                expected_version=snap0.version + 1,
             )
-            winners.unpersist()
             return EpochResult(epoch_id, lsn_from, lsn_to, 0, 0, 0, 0)
 
         snap_for_merge = snap0
@@ -318,7 +376,6 @@ class CdcEngine:
             snap=snap_for_merge,
         )
         ph.mark("merge+commit")
-        winners.unpersist()
         return EpochResult(
             epoch_id, lsn_from, lsn_to, n_events,
             res.summary["rows_inserted"], res.summary["rows_updated"],

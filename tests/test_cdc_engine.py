@@ -226,3 +226,38 @@ def test_bucket_config_mismatch_falls_back_safely(spark, tmp_path):
     _assert_state_equal(state, oracle)
     # no duplicate keys survived
     assert not state.duplicated(subset=["repo", "path"]).any()
+
+
+def test_competing_replayers_converge_exactly_once(spark, tmp_path):
+    """Two replayers racing on the SAME table: optimistic version pinning
+    means one writer wins each commit; the loser re-checks and skips
+    already-applied epochs. Final state must equal the oracle and every
+    epoch must be recorded exactly once."""
+    import threading
+
+    ev = change_events(spark, 2000, n_repos=10, paths_per_repo=10, seed=19)
+    root = str(tmp_path / "race")
+    errors = []
+
+    def run_replayer(seed):
+        try:
+            eng = CdcEngine(spark, root, num_buckets=4)
+            eng.replay(ev, max_lsn=2000, epoch_size=500)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=run_replayer, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    eng = CdcEngine(spark, root, num_buckets=4)
+    _assert_state_equal(_final_state_pdf(eng), _oracle_pdf(ev.toPandas()))
+    # every epoch applied exactly once (manifest epoch ids strictly increase)
+    ids = [m["epoch_id"] for m in eng.manifests()]
+    assert ids == sorted(set(ids))
+    assert eng.last_lsn() == 2000
+    # losers' staged orphans are cleanable
+    eng.table().vacuum()
+    _assert_state_equal(_final_state_pdf(eng), _oracle_pdf(ev.toPandas()))
