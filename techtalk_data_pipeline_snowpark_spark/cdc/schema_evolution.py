@@ -38,7 +38,14 @@ class SchemaEvolutionError(ValueError):
 
 
 def _widened(table_t: T.DataType, batch_t: T.DataType) -> T.DataType | None:
-    """Widest of the two if convertible, else None."""
+    """Widest of the two if convertible, else None.
+
+    Recurses into nested types: struct fields reconcile field-by-field
+    (batch-only fields are ADDED to the struct; table-only fields are
+    kept — old rows read them as null either way), array element types and
+    map value types widen recursively. Parquet reads old files under the
+    evolved nested schema with the same null/upcast semantics as top-level
+    columns (vectorized reader schema evolution)."""
     if table_t == batch_t:
         return table_t
     a, b = table_t.typeName(), batch_t.typeName()
@@ -46,6 +53,27 @@ def _widened(table_t: T.DataType, batch_t: T.DataType) -> T.DataType | None:
         return batch_t
     if (b, a) in _WIDENING:
         return table_t
+    if isinstance(table_t, T.StructType) and isinstance(batch_t, T.StructType):
+        by_lower = {f.name.lower(): f for f in table_t.fields}
+        out = {f.name: f for f in table_t.fields}
+        for bf in batch_t.fields:
+            tf = by_lower.get(bf.name.lower())
+            if tf is None:
+                out[bf.name] = T.StructField(bf.name, bf.dataType, True)
+                continue
+            w = _widened(tf.dataType, bf.dataType)
+            if w is None:
+                return None
+            out[tf.name] = T.StructField(tf.name, w, True)
+        return T.StructType(list(out.values()))
+    if isinstance(table_t, T.ArrayType) and isinstance(batch_t, T.ArrayType):
+        w = _widened(table_t.elementType, batch_t.elementType)
+        return T.ArrayType(w, True) if w is not None else None
+    if isinstance(table_t, T.MapType) and isinstance(batch_t, T.MapType):
+        if table_t.keyType != batch_t.keyType:
+            return None
+        w = _widened(table_t.valueType, batch_t.valueType)
+        return T.MapType(table_t.keyType, w, True) if w is not None else None
     return None
 
 

@@ -261,3 +261,55 @@ def test_competing_replayers_converge_exactly_once(spark, tmp_path):
     # losers' staged orphans are cleanable
     eng.table().vacuum()
     _assert_state_equal(_final_state_pdf(eng), _oracle_pdf(ev.toPandas()))
+
+
+def test_nested_schema_evolution(spark, tmp_path):
+    """Struct-typed payload columns evolve too: phase 2 adds a nested
+    field and widens a nested int → long; phase-1 survivors read the new
+    nested field as null under the evolved schema."""
+    from pyspark.sql import types as T
+
+    from techtalk_data_pipeline_snowpark_spark.cdc.schema_evolution import reconcile
+
+    s1 = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("stars", T.IntegerType()),
+            T.StructField("branch", T.StringType()),
+        ])),
+        T.StructField("tags", T.ArrayType(T.IntegerType())),
+    ])
+    s2 = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("stars", T.LongType()),          # widened
+            T.StructField("branch", T.StringType()),
+            T.StructField("license", T.StringType()),      # added (nested)
+        ])),
+        T.StructField("tags", T.ArrayType(T.LongType())),  # element widened
+    ])
+    evolved, added, widened = reconcile(s1, s2)
+    assert added == []  # top-level column set unchanged
+    assert {w[0] for w in widened} == {"meta", "tags"}
+    meta = evolved["meta"].dataType
+    assert meta["stars"].dataType == T.LongType()
+    assert "license" in meta.fieldNames()
+    assert evolved["tags"].dataType.elementType == T.LongType()
+
+    # end-to-end: engine replays both phases over a real table
+    rows1 = [(1, 10, (5, "main"), [1, 2]), (2, 11, (7, "dev"), [3])]
+    ev1 = spark.createDataFrame(
+        rows1, "k long, lsn long, meta struct<stars:int,branch:string>, tags array<int>"
+    ).selectExpr("lsn", "'upsert' AS op", "k", "meta", "tags")
+    rows2 = [(2, 20, (8, "dev", "mit"), [4]), (3, 21, (9, "main", "apl"), [5])]
+    ev2 = spark.createDataFrame(
+        rows2,
+        "k long, lsn long, meta struct<stars:bigint,branch:string,license:string>, tags array<bigint>",
+    ).selectExpr("lsn", "'upsert' AS op", "k", "meta", "tags")
+    eng = CdcEngine(spark, str(tmp_path / "t"), key_cols=("k",), num_buckets=2)
+    eng.replay(ev1, max_lsn=11, epoch_size=10**9)
+    eng.replay(ev2, max_lsn=21, epoch_size=10**9)
+    state = {r.k: r for r in eng.read_state().collect()}
+    assert state[1].meta.stars == 5 and state[1].meta.license is None
+    assert state[2].meta.license == "mit" and state[2].meta.stars == 8
+    assert state[3].tags == [5]
