@@ -92,6 +92,90 @@ def stream_ingest(
     )
 
 
+CLOUD_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("eventType", T.StringType()),
+        T.StructField("subject", T.StringType()),
+        T.StructField("eventTime", T.StringType()),
+        T.StructField("data", T.StructType([T.StructField("url", T.StringType())])),
+    ]
+)
+
+
+def cloud_event_ingest(
+    spark: SparkSession,
+    notifications_dir: str,
+    checkpoint_dir: str,
+    target_root: str,
+    schema: T.StructType,
+    merge_keys: list[str],
+    num_buckets: int = 8,
+):
+    """S13 parity (Event-grid-template/template.json): auto-ingest driven
+    by cloud-event NOTIFICATIONS instead of directory listing.
+
+    The reference wires Azure Event Grid BlobCreated events to Snowpipe;
+    here the notification stream is a Structured Streaming JSON source
+    whose events carry the landed blob URL (Event Grid event shape). Each
+    micro-batch reads EXACTLY the notified files and merges them — at
+    cloud scale this avoids listing a million-object stage on every tick,
+    which is the entire point of notification-driven ingest. Files landed
+    WITHOUT a notification are never read (verified by test). Exactly-once
+    composition is the same as stream_ingest: the notification-source
+    checkpoint de-duplicates deliveries, and the key-idempotent MERGE
+    absorbs any at-least-once replay of a batch.
+    """
+    notif = (
+        spark.readStream.schema(CLOUD_EVENT_SCHEMA).json(notifications_dir)
+        .where(F.col("eventType") == "Microsoft.Storage.BlobCreated")
+    )
+
+    LakeTable.create(
+        spark, target_root, schema, key_cols=merge_keys,
+        num_buckets=num_buckets, if_not_exists=True,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int):
+        urls = [r.url for r in batch_df.select("data.url").where(
+            F.col("data.url").isNotNull()).distinct().collect()]
+        if not urls:
+            return
+        sess = batch_df.sparkSession
+        raw = sess.read.text(urls).withColumnRenamed("value", "response")
+        flat = json_array_to_exploded_fields(raw, schema, "response")
+        dedup = flat.dropDuplicates(merge_keys)
+        merge_into(
+            LakeTable(sess, target_root),
+            dedup,
+            on=merge_keys,
+            when_matched_update="all",
+            properties={"autoingest.batch_id": batch_id, "autoingest.files": len(urls)},
+        )
+
+    return (
+        notif.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def land_cloud_event(notifications_dir: str, blob_url: str) -> str:
+    """Emit a BlobCreated notification (what Event Grid would deliver)."""
+    import json as _json
+
+    os.makedirs(notifications_dir, exist_ok=True)
+    payload = _json.dumps(
+        {
+            "eventType": "Microsoft.Storage.BlobCreated",
+            "subject": blob_url,
+            "eventTime": "1970-01-01T00:00:00Z",
+            "data": {"url": blob_url},
+        }
+    )
+    return land_file(notifications_dir, payload, suffix=".json")
+
+
 def batch_ingest_with_manifest(
     spark: SparkSession,
     stage_dir: str,

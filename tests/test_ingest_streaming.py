@@ -171,3 +171,45 @@ def test_batch_ingest_with_manifest(spark, tmp_path):
     from techtalk_data_pipeline_snowpark_spark.lake import LakeTable as LT
 
     assert LT(spark, str(tmp_path / "pay")).read().count() == 3
+
+
+def test_cloud_event_auto_ingest(spark, tmp_path):
+    """S13 parity: ingest is driven by BlobCreated notifications, not
+    directory listing — a landed file WITHOUT a notification is never read;
+    re-running the drained stream is a no-op (checkpointed)."""
+    from pyspark.sql import types as T
+
+    from techtalk_data_pipeline_snowpark_spark.lake import LakeTable
+    from techtalk_data_pipeline_snowpark_spark.streaming.file_ingest import (
+        cloud_event_ingest,
+        create_stage,
+        land_cloud_event,
+        land_file,
+    )
+
+    stage = create_stage(str(tmp_path / "stage"))
+    notif_dir = str(tmp_path / "notifications")
+    schema = T.StructType(
+        [T.StructField("code", T.StringType()), T.StructField("amount", T.DoubleType())]
+    )
+    f1 = land_file(stage, '[{"code": "a", "amount": 1.0}, {"code": "b", "amount": 2.0}]')
+    f2 = land_file(stage, '[{"code": "c", "amount": 3.0}]')
+    land_file(stage, '[{"code": "GHOST", "amount": 9.9}]')  # NO notification
+    land_cloud_event(notif_dir, f1)
+    land_cloud_event(notif_dir, f2)
+
+    target = str(tmp_path / "flat")
+    q = cloud_event_ingest(
+        spark, notif_dir, str(tmp_path / "ckpt"), target, schema, ["code"]
+    )
+    q.awaitTermination(240)
+    got = {(r.code, r.amount) for r in LakeTable(spark, target).read().collect()}
+    assert got == {("a", 1.0), ("b", 2.0), ("c", 3.0)}  # GHOST not ingested
+
+    # drain again: checkpoint makes it a no-op
+    v = LakeTable(spark, target).latest_version()
+    q2 = cloud_event_ingest(
+        spark, notif_dir, str(tmp_path / "ckpt"), target, schema, ["code"]
+    )
+    q2.awaitTermination(240)
+    assert LakeTable(spark, target).latest_version() == v
