@@ -168,3 +168,56 @@ def test_merge_expression_on_delete_branch(spark, tmp_table_root):
     assert res.summary["rows_deleted"] == 1 and res.summary["rows_updated"] == 1
     got = {(r.k, r.v, r.tag) for r in t.read().collect()}
     assert got == {("BB-9", 99, "upd"), ("cc-3", 3, "x")}
+
+
+def test_merge_arbitration_property(spark, tmp_path):
+    """Property-based MERGE semantics: for random target/source key sets
+    with upsert/delete ops, the table converges to the dict-oracle state
+    (matched+delete → gone; matched+upsert → source row; unmatched upsert →
+    insert; delete for absent key → no-op)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keyspace = [f"k{i}" for i in range(6)]
+    tgt_strategy = st.dictionaries(
+        st.sampled_from(keyspace), st.integers(-100, 100), max_size=6
+    )
+    src_strategy = st.dictionaries(
+        st.sampled_from(keyspace),
+        st.tuples(st.integers(-100, 100), st.sampled_from(["upsert", "delete"])),
+        max_size=6,
+    )
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(tgt=tgt_strategy, src=src_strategy)
+    def run(tgt, src):
+        counter["n"] += 1
+        root = str(tmp_path / f"prop{counter['n']}")
+        t = LakeTable.create(spark, root, SCHEMA, key_cols=["k"], num_buckets=2)
+        if tgt:
+            t.append(spark.createDataFrame([(k, v, "t") for k, v in tgt.items()], SCHEMA))
+        src_schema = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+        if src:
+            sdf = spark.createDataFrame(
+                [(k, v, "s", op) for k, (v, op) in src.items()], src_schema
+            )
+            merge_into(
+                t, sdf, on=["k"],
+                when_matched_update="all",
+                when_matched_delete=F.col("s.op") == "delete",
+            )
+        # dict oracle
+        state = {k: (v, "t") for k, v in tgt.items()}
+        for k, (v, op) in src.items():
+            if op == "delete":
+                state.pop(k, None)
+            else:
+                state[k] = (v, "s")
+        got = {r.k: (r.v, r.tag) for r in t.read().collect()}
+        assert got == state, (got, state, tgt, src)
+
+    run()
