@@ -74,6 +74,48 @@ def windowed_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding event-time windows (overlapping): each event lands in
+    window/slide windows; same bounded-state/append-mode semantics as the
+    tumbling variant."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            F.unix_timestamp("w.end").alias("window_end_s"),
+            "event_type", "n",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """In-stream duplicate-delivery defense: drop repeated keys within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — state holds one
+    entry per key only until the watermark passes its event time, so state
+    is bounded by the horizon, not the stream (the property a plain
+    ``dropDuplicates`` on a stream lacks). Complements the engine's
+    manifest idempotence: this trims duplicates BEFORE they reach an epoch,
+    the manifest makes re-applied epochs no-ops after."""
+    prepped = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return prepped.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def _session_fn(gap_seconds: int):
     cols = [f.name for f in SESSION_SCHEMA.fields]
 

@@ -154,3 +154,57 @@ def test_stateful_sessions_group_spanning_arrow_chunks(spark, tmp_path):
     for start, end, n, s in sessions:
         assert (7, start) in got, f"missing session start={start}"
         assert got[(7, start)] == (end, n, s)
+
+
+def test_sliding_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    from techtalk_data_pipeline_snowpark_spark.streaming.event_time import sliding_counts
+
+    events_dir = str(tmp_path / "ev_slide")
+    ev = _land_chunks(spark, sf_dir, events_dir, n_chunks=2)
+    stream = spark.readStream.schema(ev.schema).parquet(events_dir)
+    q = (
+        sliding_counts(stream, window="20 minutes", slide="10 minutes", watermark="5 minutes")
+        .writeStream.format("memory").queryName("slidecounts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r.window_start_s, r.event_type): r.n
+        for r in spark.table("slidecounts").collect()
+    }
+    batch = {
+        (r.window_start_s, r.event_type): r.n
+        for r in sliding_counts(ev, window="20 minutes", slide="10 minutes").collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert batch[k] == v
+    # overlap sanity: an event contributes to 2 windows → sum over sliding
+    # windows is ~2× the row count (edges aside)
+    assert sum(got.values()) > len(got)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from techtalk_data_pipeline_snowpark_spark.streaming.event_time import stream_dedup
+
+    events_dir = str(tmp_path / "ev_dup")
+    rows = []
+    base = 1_700_000_000
+    for i in range(300):
+        rows.append((i % 50, base + i * 10, float(i)))          # original
+        if i % 3 == 0:
+            rows.append((i % 50, base + i * 10, float(i)))      # duplicate delivery
+    df = spark.createDataFrame(rows, "user_id long, secs long, value double").select(
+        "user_id", F.to_timestamp(F.from_unixtime("secs")).alias("ts"), "value"
+    )
+    df.coalesce(1).write.parquet(events_dir)
+    stream = spark.readStream.schema(df.schema).parquet(events_dir)
+    q = (
+        stream_dedup(stream, ["user_id", "ts"], watermark="1 hour")
+        .writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+    out = spark.table("dedup_stream")
+    assert out.count() == 300  # duplicates dropped
+    assert out.select("user_id", "ts").distinct().count() == 300
