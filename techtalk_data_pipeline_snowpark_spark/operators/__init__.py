@@ -6,6 +6,7 @@ from .analytics import (
 from .dedup import (
     char_ngrams,
     cosine,
+    minhash_bucket_stats,
     embedding_near_dups,
     embedding_near_dups_brute,
     exact_dedup,
@@ -21,7 +22,15 @@ from .dedup import (
 from .ingest import ingest_raw_to_flat, land_raw, overwrite_from_files
 from .multimodal import (
     extract_image_features,
+    parse_image_dims,
     sample_video_frames,
     synthesize_media,
 )
-from .similarity import assign_ivf_cells, cosine_topk_brute, cosine_topk_ivf
+from .similarity import (
+    assign_ivf_cells,
+    build_ivf_index,
+    cosine_topk_brute,
+    cosine_topk_ivf,
+    cosine_topk_ivf_indexed,
+    topk_per_key,
+)
