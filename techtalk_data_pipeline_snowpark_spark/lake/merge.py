@@ -154,6 +154,11 @@ def merge_into(
         s_exists = F.col("s.__s_exists").isNotNull()
     else:
         tgt = tgt.alias("t")
+        # Join strategy deliberately left to Catalyst (sort-merge under
+        # AQE): a full-outer shuffle_hash hint was measured (r2, 8M×2
+        # epochs, 4×2 executors, 2 runs each) at parity within JVM noise —
+        # and SMJ's graceful spill beats SHJ's in-memory build side when an
+        # epoch partition is skew-heavy.
         joined = tgt.join(
             src,
             on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
