@@ -689,6 +689,40 @@ FROM documents
 """
 
 
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap sessions via the built-in F.session_window (the batch+
+    streaming scale path; Catalyst session-window aggregation). Boundary:
+    a new session when the inter-event gap >= 1800s."""
+    from techtalk_data_pipeline_snowpark_spark.operators.sessions import (
+        session_window_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return session_window_stats(ev, gap_seconds=1800)
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS secs
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(secs) OVER w IS NULL
+                  OR secs - lag(secs) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY secs, event_id)
+), sessioned AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY secs, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, min(secs) AS start_s, max(secs) AS end_s,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sessioned GROUP BY user_id, session_idx
+"""
+
+
 # ----------------------------------------------------- similarity search
 
 def _as_double(vec):
@@ -845,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": quality_docs,
         "doc_fingerprint_docs": doc_fingerprint_docs,
         "session_stats_events": session_stats_events,
+        "session_window_events": session_window_events,
         "cosine_topk": cosine_topk,
         "embedding_near_dups_docs": embedding_near_dups_docs,
         "minhash_near_dup_docs": minhash_near_dup_docs,
@@ -876,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_docs": _QUALITY_ORACLE,
         "doc_fingerprint_docs": _FINGERPRINT_ORACLE,
         "session_stats_events": _SESSIONS_ORACLE,
+        "session_window_events": _SESSION_WINDOW_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "embedding_near_dups_docs": _NEAR_DUPS_ORACLE,
         # minhash_near_dup_docs / simhash_docs / cosine_topk_ann: xxhash64-

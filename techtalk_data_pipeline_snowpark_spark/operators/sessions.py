@@ -60,3 +60,37 @@ def session_stats(
         F.max(secs).alias("end_s"),
         F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
+
+
+def session_window_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Native gap sessions via the built-in ``F.session_window`` — the
+    Spark-first scale path: the same expression works on batch AND
+    Structured Streaming (add a watermark), and Catalyst plans a dedicated
+    session-window aggregation (merging partial sessions map-side) instead
+    of the two-window shuffle+sort of ``sessionize``.
+
+    Boundary convention differs from ``sessionize`` by design: the builtin
+    window spans [event, event+gap), so a new session starts when the
+    inter-event gap is **>= gap** (``sessionize`` splits on > gap). At
+    whole-second resolution ``session_window_stats(g)`` ≡
+    ``session_stats(gap_seconds=g-1)`` — asserted in tests."""
+    ev = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        ev.groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_timestamp(F.col(ts_col))).alias("start_s"),
+            F.max(F.unix_timestamp(F.col(ts_col))).alias("end_s"),
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(user_col, "start_s", "end_s", "n_events", "sum_value")
+    )

@@ -111,3 +111,24 @@ def test_top_restaurants_plan_broadcasts_dim(spark, domain):
     _, _, r, rest, _ = domain
     plan = top_restaurants_last_30_days(r, rest, as_of=AS_OF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_session_window_matches_manual_sessionization(spark, sf_dir):
+    """The built-in F.session_window path must agree with the manual
+    lag/cumsum sessionizer (boundary conventions aligned: builtin splits
+    on >= gap, manual on > gap → compare g vs g-1)."""
+    from techtalk_data_pipeline_snowpark_spark.operators.sessions import (
+        session_stats,
+        session_window_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    native = {
+        (r.user_id, r.start_s): (r.end_s, r.n_events, round(r.sum_value, 4))
+        for r in session_window_stats(ev, gap_seconds=1800).collect()
+    }
+    manual = {
+        (r.user_id, r.start_s): (r.end_s, r.n_events, round(r.sum_value, 4))
+        for r in session_stats(ev, gap_seconds=1799).collect()
+    }
+    assert native == manual and native
