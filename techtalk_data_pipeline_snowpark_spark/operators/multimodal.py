@@ -116,6 +116,71 @@ def synthesize_media(spark, n: int, seed: int = 42) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def parse_wav_header(b: bytes) -> tuple[int, int, int, float] | None:
+    """(sample_rate, channels, bits_per_sample, duration_s) from RIFF/WAVE
+    bytes — chunk walk, no audio libs. None for non-WAV/truncated input."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = channels = bits = None
+    data_len = None
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if tag == b"fmt " and i + 24 <= len(b):
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif tag == b"data":
+            data_len = size
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if not (rate and channels and bits):
+        return None
+    dur = (
+        data_len / (rate * channels * (bits // 8))
+        if data_len and bits >= 8
+        else 0.0
+    )
+    return rate, channels, bits, float(dur)
+
+
+def extract_audio_features(media: DataFrame, decoder: str = "real") -> DataFrame:
+    """Audio metadata via mapInPandas: WAV headers parsed from bytes (no
+    libs); non-WAV payloads yield null fields. Waveform-level features
+    would need an audio codec — out of scope in this container, and the
+    Spark-side contract (binary in, typed features out, map-only Arrow
+    batches) is identical."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["payload"].map(parse_wav_header)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "sample_rate": parsed.map(lambda p: p[0] if p else None).astype("Int32"),
+                    "channels": parsed.map(lambda p: p[1] if p else None).astype("Int32"),
+                    "bits_per_sample": parsed.map(lambda p: p[2] if p else None).astype("Int32"),
+                    "duration_s": parsed.map(lambda p: p[3] if p else None).astype("Float64"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    auds = media.where(F.col("kind") == "audio").select("media_id", "payload")
+    return auds.mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
+
+
 def _byte_feature(b: bytes) -> list:
     return (
         np.frombuffer(b[:64].ljust(64, b"\0"), dtype=np.uint8)

@@ -263,3 +263,36 @@ def test_ivf_indexed_matches_transient_and_prunes_partitions(spark, emb, tmp_pat
     got = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9)) for r in indexed.collect()}
     ref = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9)) for r in transient.collect()}
     assert got == ref and got
+
+
+def test_multimodal_wav_header_decode(spark):
+    """Real WAV header parsing: a hand-rolled valid RIFF/WAVE stream (1s of
+    silence at 8kHz mono 16-bit) yields true rate/channels/bits/duration."""
+    import struct
+
+    from techtalk_data_pipeline_snowpark_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        parse_wav_header,
+    )
+
+    rate, ch, bits, secs = 8000, 1, 16, 1
+    data = bytes(rate * ch * (bits // 8) * secs)
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert parse_wav_header(wav) == (8000, 1, 16, 1.0)
+    assert parse_wav_header(b"not audio") is None
+
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(wav), {}),
+         (2, "audio", "audio/ogg", bytearray(b"OggS garbage"), {})],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: (r.sample_rate, r.channels, r.bits_per_sample, r.duration_s)
+           for r in extract_audio_features(media).collect()}
+    assert got[1] == (8000, 1, 16, 1.0)
+    assert got[2] == (None, None, None, None)
