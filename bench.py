@@ -29,7 +29,12 @@ def build_spark(cpus: int):
 
     return (
         SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        # shuffle partitions sized by DATA VOLUME, not core count: the 2M-
+        # event replay shuffles ~400 MB → ~16 partitions of ~32 MB. On this
+        # host that also matters for another reason (measured ±33%):
+        # string-heavy reduce stages saturate the memory subsystem beyond
+        # ~16 concurrent slots (BENCH.md host-envelope matrix).
+        .config("spark.sql.shuffle.partitions", str(min(cpus, 16)))
         .config("spark.driver.memory", "24g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
@@ -58,7 +63,9 @@ def bench_cdc_replay(spark, n_events: int, epochs: int, workdir: str) -> dict:
         spark,
         os.path.join(workdir, "state"),
         key_cols=("repo", "path"),
-        num_buckets=64,
+        # buckets sized for the converged table (~900k rows ≈ 180 MB →
+        # ~16 digestible bucket files), not for core count
+        num_buckets=16,
     )
     t0 = time.time()
     results = eng.replay(log, max_lsn=max_lsn, epoch_size=(max_lsn + epochs - 1) // epochs)
