@@ -343,10 +343,15 @@ class CdcEngine:
 
         snap_for_merge = snap0
         if added or widened:
+            # version-pinned like every other epoch commit: without the pin,
+            # a rival's interleaved commit would be silently absorbed here
+            # and the epoch double-applied (review finding r2) — with it,
+            # the race raises and the apply_epoch wrapper re-checks/retries.
             table.commit_rewrite(
                 [], [], "evolve-schema", schema=evolved,
                 properties={"cdc.schema_added": json.dumps(added),
                             "cdc.schema_widened": json.dumps(widened)},
+                expected_version=snap0.version + 1,
             )
             snap_for_merge = table.snapshot()
 
@@ -355,6 +360,14 @@ class CdcEngine:
             "lsn_from": lsn_from,
             "lsn_to": lsn_to,
             "partition_offsets": partition_offsets,
+            # the bucketing function the offset keys were computed under —
+            # consumers must NOT assume they match the table's file layout
+            # (they differ exactly when buckets_trusted is false)
+            "bucket_config": {
+                "num_buckets": self.num_buckets,
+                "key_cols": self.key_cols,
+                "matches_table_layout": buckets_trusted,
+            },
             "lineage": lineage or {},
             "committed_at": time.time(),
         }

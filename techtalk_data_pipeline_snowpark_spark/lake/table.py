@@ -125,8 +125,17 @@ class LakeTable:
         return t
 
     def exists(self) -> bool:
+        """True iff at least one COMMITTED log entry exists — in-flight
+        ``.tmp-*`` files from a concurrent creator don't count (they made
+        exists() true while snapshot() still raised, crashing racers
+        outside their creation-race handler)."""
         d = os.path.join(self.root, LOG_DIR)
-        return os.path.isdir(d) and len(os.listdir(d)) > 0
+        if not os.path.isdir(d):
+            return False
+        return any(
+            e.endswith(".json") and not e.startswith(".") and ".checkpoint." not in e
+            for e in os.listdir(d)
+        )
 
     # ---------------------------------------------------------------- log
     def _log_path(self, version: int) -> str:
@@ -293,6 +302,8 @@ class LakeTable:
         for e in self.log_entries(start_version + 1, end_version):
             if e.get("operation") in ("append", "create"):
                 added.extend(a["path"] for a in e.get("add", []))
+            elif e.get("operation") == "compact":
+                continue  # row-set-invariant by construction — no changes
             elif on_rewrite == "diff":
                 rewrite_versions.append(e["version"])
             else:
@@ -350,8 +361,11 @@ class LakeTable:
                 if adds:
                     pieces.append(_tag(self._read_files(adds, schema), "insert", v))
                 continue
-            if not adds and not removes:
-                continue  # metadata-only commit (evolve-schema, empty epoch)
+            if op == "compact" or (not adds and not removes):
+                # compact is row-set-invariant (its diff is empty by
+                # construction — don't pay the exceptAll to prove it);
+                # evolve-schema / empty epochs are metadata-only
+                continue
             new_rows = self._read_files(adds, schema)
             old_rows = self._read_files(removes, schema)
             changed = new_rows.exceptAll(old_rows)
@@ -407,12 +421,20 @@ class LakeTable:
             # files_per_bucket files so every slot writes (r1 finding: the
             # staging write was the serial tail whenever cores > buckets).
             if files_per_bucket is None:
-                par = int(
-                    self.spark.conf.get(
-                        "spark.sql.shuffle.partitions", str(num_buckets)
-                    )
+                # actual task slots, not spark.sql.shuffle.partitions: the
+                # conf default (200) would fragment every bucket into
+                # 200/N files on an untuned session. Cap the fan-out — the
+                # point is busy write slots, not unbounded small files.
+                slots = self.spark.sparkContext.defaultParallelism
+                par = min(
+                    int(
+                        self.spark.conf.get(
+                            "spark.sql.shuffle.partitions", str(slots)
+                        )
+                    ),
+                    slots,
                 )
-                files_per_bucket = max(1, par // num_buckets)
+                files_per_bucket = max(1, min(par // num_buckets, 8))
             if files_per_bucket > 1:
                 salt = F.pmod(
                     F.xxhash64(*[F.col(c) for c in key_cols]),

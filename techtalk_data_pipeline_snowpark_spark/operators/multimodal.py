@@ -70,7 +70,10 @@ def parse_image_dims(b: bytes) -> tuple[int, int, str] | None:
                 i += 1
                 continue
             marker = b[i + 1]
-            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+            if marker == 0xFF:
+                i += 1  # fill byte — the NEXT byte may be the real marker
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
                 i += 2  # standalone markers have no length field
                 continue
             seg_len = int.from_bytes(b[i + 2 : i + 4], "big")

@@ -67,6 +67,17 @@ def generate_records_into_employee(spark: SparkSession, root: str, n: int) -> La
     return t
 
 
+def _observed(df: DataFrame):
+    """Count rides the append job via Dataset.observe — no second scan per
+    tick (same trick the merge/update paths use)."""
+    from uuid import uuid4
+
+    from pyspark.sql import Observation
+
+    obs = Observation(f"tick-{uuid4().hex}")
+    return df.observe(obs, F.count(F.lit(1)).alias("n")), obs
+
+
 def _consume_stream(
     src: LakeTable, dest: LakeTable, offset_key: str
 ) -> tuple[DataFrame | None, int]:
@@ -98,8 +109,9 @@ def clean_write_industry_code_first2(spark: SparkSession, root: str) -> dict:
     )
     if not dest.exists():
         dest = LakeTable.create(spark, os.path.join(root, FIRST2_TABLE), out.schema)
+    out, obs = _observed(out)
     res = dest.append(out, properties={offset_key: end_v})
-    return {"rows": out.count(), "version": res.version}
+    return {"rows": int(obs.get.get("n") or 0), "version": res.version}
 
 
 def industry_stream_employee(spark: SparkSession, root: str) -> dict:
@@ -126,6 +138,6 @@ def industry_stream_employee(spark: SparkSession, root: str) -> dict:
         dest = LakeTable.create(
             spark, os.path.join(root, EMPLOYEE_INDUSTRY_TABLE), joined.schema
         )
+    joined, obs = _observed(joined)
     res = dest.append(joined, properties={offset_key: end_v})
-    n = dest.read().count()
-    return {"rows_total": n, "version": res.version}
+    return {"rows_appended": int(obs.get.get("n") or 0), "version": res.version}

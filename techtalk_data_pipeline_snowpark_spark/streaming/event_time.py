@@ -134,6 +134,10 @@ def _session_fn(gap_seconds: int):
         # whole group and sort once (per-chunk sorting corrupts sessions for
         # groups larger than one Arrow batch).
         chunks = list(pdfs)
+        if not chunks:  # zero-chunk delivery: keep state, re-arm the timer
+            if last0 is not None:
+                state.setTimeoutDuration(gap_seconds * 1000)
+            return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         if len(pdf) == 0:
             if last0 is not None:

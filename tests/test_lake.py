@@ -243,6 +243,9 @@ def test_compact_consolidates_files_invisible_to_changelog(spark, tmp_table_root
     assert t.read_changelog(v_before).count() == 0
     # incremental consumer with diff fallback also sees nothing
     assert t.read_incremental(v_before, on_rewrite="diff").count() == 0
+    # DEFAULT-mode consumers keep working across a compact (row-invariant):
+    # an OPTIMIZE must never wedge a stream consumer
+    assert t.read_incremental(v_before).count() == 0
     # time travel to pre-compact still resolves (files retained)
     assert t.read(version=v_before).count() == 12
     # retention-aware vacuum: retaining the pre-compact version keeps its

@@ -296,3 +296,19 @@ def test_multimodal_wav_header_decode(spark):
            for r in extract_audio_features(media).collect()}
     assert got[1] == (8000, 1, 16, 1.0)
     assert got[2] == (None, None, None, None)
+
+
+def test_jpeg_fill_bytes_before_marker(spark):
+    """Spec-valid JPEGs may pad markers with 0xFF fill bytes — the SOF scan
+    must consume them one at a time, not skip the real marker."""
+    import struct
+
+    from techtalk_data_pipeline_snowpark_spark.operators.multimodal import parse_image_dims
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 120, 240) + b"\x01" + bytes(3)
+        + b"\xff\xd9"
+    )
+    assert parse_image_dims(jpeg) == (240, 120, "jpeg")
