@@ -87,9 +87,13 @@ def bench_skewed_dedup(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from techtalk_data_pipeline_snowpark_spark.operators.dedup import (
+        embedding_bucket_stats,
         embedding_near_dups,
         minhash_bucket_stats,
         minhash_near_dups,
+        simhash64,
+        simhash_bucket_stats,
+        simhash_candidates,
     )
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
@@ -108,21 +112,41 @@ def bench_skewed_dedup(spark, sf_dir: str) -> dict:
     minhash_sec = round(time.time() - t0, 3)
     stats = minhash_bucket_stats(skewed, "doc_id", "text")
 
+    # simhash over the same planted mega-cluster: identical-simhash collapse
+    # holds the block self-join linear (2,000 copies → 1,999 star pairs)
+    t0 = time.time()
+    sim = simhash64(skewed, "doc_id", "text")
+    n_sim_pairs = simhash_candidates(sim, "doc_id").count()
+    simhash_sec = round(time.time() - t0, 3)
+    sim_stats = simhash_bucket_stats(sim, "doc_id")
+
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # planted identical-embedding cluster (e.g. zero vectors after a bad
+    # encode): collapse keeps the cell self-join linear here too
+    emb_cluster = spark.range(2000).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        F.expr("transform(sequence(1, 64), i -> cast(0.25 as float))").alias("embedding"),
+    )
+    emb_skewed = emb.select("vec_id", "embedding").unionByName(emb_cluster)
     t0 = time.time()
     # 8 planes → 256 buckets over ~5k vectors: buckets hold ~20 vectors so
     # the within-bucket verify actually exercises pairs (12 planes gives
     # ~1 vector/bucket at this scale — zero candidates)
     n_emb_pairs = embedding_near_dups(
-        emb, "vec_id", "embedding", threshold=0.4, num_planes=8
+        emb_skewed, "vec_id", "embedding", threshold=0.4, num_planes=8
     ).count()
     emb_sec = round(time.time() - t0, 3)
+    emb_stats = embedding_bucket_stats(emb_skewed, "vec_id", "embedding", num_planes=8)
     return {
         "minhash_skewed_sec": minhash_sec,
         "minhash_skewed_pairs": n_pairs,
         "minhash_bucket_stats": stats,
+        "simhash_skewed_sec": simhash_sec,
+        "simhash_skewed_pairs": n_sim_pairs,
+        "simhash_bucket_stats": sim_stats,
         "embedding_lsh_sec": emb_sec,
         "embedding_lsh_pairs": n_emb_pairs,
+        "embedding_bucket_stats": emb_stats,
     }
 
 
@@ -169,6 +193,7 @@ def main():
 
     skew = bench_skewed_dedup(spark, sf_dir)
     timings["minhash_skewed"] = skew["minhash_skewed_sec"]
+    timings["simhash_skewed"] = skew["simhash_skewed_sec"]
     timings["embedding_lsh"] = skew["embedding_lsh_sec"]
 
     total = round(sum(timings.values()), 3)
@@ -186,7 +211,10 @@ def main():
             "cpus": cpus,
             "minhash_skewed_pairs": skew["minhash_skewed_pairs"],
             "minhash_bucket_stats": skew["minhash_bucket_stats"],
+            "simhash_skewed_pairs": skew["simhash_skewed_pairs"],
+            "simhash_bucket_stats": skew["simhash_bucket_stats"],
             "embedding_lsh_pairs": skew["embedding_lsh_pairs"],
+            "embedding_bucket_stats": skew["embedding_bucket_stats"],
         },
     }
     print(json.dumps(out))

@@ -42,6 +42,27 @@ def _touched_buckets(source: DataFrame, key_cols: list[str], n: int) -> list[int
     return sorted(r["_b"] for r in rows)
 
 
+def _observed_metrics(obs, adds: list[dict], pre_observe: DataFrame, exprs) -> dict:
+    """Metrics from Dataset.observe, with a recompute fallback.
+
+    Spark 4.1.2 quirk: a dynamic-partition (`partitionBy`) write of an
+    EMPTY DataFrame never delivers observed metrics — `Observation.get`
+    dies in `getRow()` on an empty schema-less row (plain empty writes and
+    non-empty partitionBy writes both deliver fine; only the combination
+    fails). The lost metrics are NOT zero (a merge that deletes the last
+    row has deleted=1), so when the staged output produced no files we
+    recompute them with one direct aggregation over the pre-observe plan —
+    a rare path (the mutation emptied every touched bucket) and a cheap
+    job relative to the rewrite that just ran.
+    """
+    if adds:
+        try:
+            return dict(obs.get)
+        except Exception:
+            pass  # fall through to recompute — never trust a dead Observation
+    return pre_observe.agg(*exprs).first().asDict()
+
+
 def merge_into(
     table: LakeTable,
     source: DataFrame,
@@ -183,8 +204,7 @@ def merge_into(
         else F.coalesce(when_matched_delete, F.lit(False))
     )
     obs = Observation(f"merge-{uuid4().hex}")
-    joined = joined.observe(
-        obs,
+    metric_exprs = [
         F.sum(
             F.when(t_exists & s_exists & matched & del_flag, 1).otherwise(0)
         ).alias("deleted"),
@@ -199,7 +219,9 @@ def merge_into(
             F.when(~t_exists & s_exists & F.coalesce(insert_cond, F.lit(False)), 1)
             .otherwise(0)
         ).alias("inserted"),
-    )
+    ]
+    pre_observe = joined
+    joined = joined.observe(obs, *metric_exprs)
 
     def target_row():
         return [F.col(f"t.{c}").alias(c) for c in tcols]
@@ -257,7 +279,7 @@ def merge_into(
     result = joined.where(~drop).select(*result_cols)
 
     adds = table._stage_dataframe(result, schema, snap.num_buckets, snap.key_cols)
-    m = obs.get  # staging executed the plan; metrics are ready
+    m = _observed_metrics(obs, adds, pre_observe, metric_exprs)
     summary = {
         "rows_inserted": int(m.get("inserted") or 0),
         "rows_updated": int(m.get("updated") or 0),
@@ -337,13 +359,12 @@ def _rewrite_matching_files(
         )
     sub = table._read_files(rel_hits, schema)
     # SQL semantics: a NULL condition neither updates nor deletes the row.
-    flagged = sub.withColumn("__hit", F.coalesce(cond, F.lit(False)))
+    pre_observe = sub.withColumn("__hit", F.coalesce(cond, F.lit(False)))
     obs = Observation(f"{operation}-{uuid4().hex}")
+    metric_exprs = [F.sum(F.when(F.col("__hit"), 1).otherwise(0)).alias("matched")]
     # CollectMetrics is a pushdown barrier, so the observe sees every row of
     # the hit files — which the rewrite must read anyway.
-    flagged = flagged.observe(
-        obs, F.sum(F.when(F.col("__hit"), 1).otherwise(0)).alias("matched")
-    )
+    flagged = pre_observe.observe(obs, *metric_exprs)
     if operation == "delete":
         out = flagged.where(~F.col("__hit")).select(
             *[F.col(f.name) for f in schema.fields]
@@ -361,7 +382,8 @@ def _rewrite_matching_files(
                 out_cols.append(F.col(f.name))
         out = flagged.select(*out_cols)
     adds = table._stage_dataframe(out, schema, snap.num_buckets, snap.key_cols)
-    summary = {"rows_affected": int(obs.get.get("matched") or 0)}
+    m = _observed_metrics(obs, adds, pre_observe, metric_exprs)
+    summary = {"rows_affected": int(m.get("matched") or 0)}
     return table.commit_rewrite(
         adds=adds,
         removes=rel_hits,

@@ -7,8 +7,10 @@ from .dedup import (
     char_ngrams,
     cosine,
     minhash_bucket_stats,
+    embedding_bucket_stats,
     embedding_near_dups,
     embedding_near_dups_brute,
+    simhash_bucket_stats,
     exact_dedup,
     exact_dedup_apply,
     minhash_lsh_candidates,

@@ -336,14 +336,29 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return packed.withColumnRenamed("_id", id_col)
 
 
-def simhash_candidates(sim: DataFrame, id_col: str, blocks: int = 4) -> DataFrame:
-    """Hamming-≤k candidates: split the 64 bits into ``blocks`` 16-bit
-    blocks; pairs sharing any block are candidates (pigeonhole: hamming
-    distance < blocks ⇒ some block equal)."""
+def _simhash_groups(sim: DataFrame, id_col: str):
+    """Identical-simhash groups: one representative (min id) per distinct
+    64-bit value, group size ``_m``. Returned persisted — caller unpersists.
+    Same mega-cluster treatment as ``_signatures_and_groups``: m identical
+    docs share every block, so without collapse the block self-join pays
+    O(m²) — collapsed, the cluster costs O(m) star pairs."""
+    from pyspark import StorageLevel
+
+    s = sim.select(F.col(id_col).alias("_id"), "simhash")
+    s = s.persist(StorageLevel.MEMORY_AND_DISK)
+    groups = s.groupBy("simhash").agg(
+        F.min("_id").alias("_rid"), F.count(F.lit(1)).alias("_m")
+    )
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+    return s, groups
+
+
+def _simhash_blocks(groups: DataFrame, blocks: int) -> DataFrame:
+    """Explode distinct-simhash representatives into (rep id, block, bits)."""
     width = 64 // blocks
     mask = (1 << width) - 1
-    parts = sim.select(
-        F.col(id_col).alias("_id"),
+    return groups.select(
+        F.col("_rid").alias("_id"),
         F.explode(
             F.array(
                 *[
@@ -358,14 +373,36 @@ def simhash_candidates(sim: DataFrame, id_col: str, blocks: int = 4) -> DataFram
             )
         ).alias("p"),
     ).select("_id", "p.blk", "p.bits")
-    from pyspark import StorageLevel
 
-    # barrier: without it the self-join recomputes the 64-sum simhash
-    # aggregation once per side (see minhash_lsh_candidates note).
-    parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
+
+def simhash_candidates(
+    sim: DataFrame, id_col: str, blocks: int = 4, max_bucket_size: int = 64
+) -> DataFrame:
+    """Hamming-≤k candidates: split the 64 bits into ``blocks`` 16-bit
+    blocks; pairs sharing any block are candidates (pigeonhole: hamming
+    distance < blocks ⇒ some block equal).
+
+    Mega-bucket defense (mirrors ``minhash_lsh_candidates``): identical
+    simhash values are collapsed to one representative before the block
+    self-join (star pairs rep→member preserve connectivity — a 2,000-copy
+    cluster costs O(m) pairs, not O(m²)), and distinct-value block buckets
+    larger than ``max_bucket_size`` are dropped pre-join (low-entropy
+    blocks carry almost no discriminative signal; truncation is observable
+    via ``simhash_bucket_stats``, never silent)."""
+    s, groups = _simhash_groups(sim, id_col)
     try:
-        l, r = parts.alias("l"), parts.alias("r")
-        pairs = (
+        star = (
+            s.join(groups.select("simhash", "_rid", "_m"), on="simhash")
+            .where((F.col("_m") > 1) & (F.col("_id") != F.col("_rid")))
+            .select(F.col("_rid").alias("a"), F.col("_id").alias("b"))
+        )
+        parts = _simhash_blocks(groups, blocks)
+        sizes = parts.groupBy("blk", "bits").agg(F.count(F.lit(1)).alias("_n"))
+        capped = parts.join(
+            sizes.where(F.col("_n") <= max_bucket_size), on=["blk", "bits"], how="inner"
+        ).drop("_n")
+        l, r = capped.alias("l"), capped.alias("r")
+        band_pairs = (
             l.join(
                 r,
                 (F.col("l.blk") == F.col("r.blk"))
@@ -373,13 +410,53 @@ def simhash_candidates(sim: DataFrame, id_col: str, blocks: int = 4) -> DataFram
                 & (F.col("l._id") < F.col("r._id")),
             )
             .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
-            .distinct()
         )
+        pairs = band_pairs.union(star).distinct()
         # eager-materialize the small pair list, then release the barrier —
         # repeated invocations must not accumulate block-store state.
         return pairs.localCheckpoint(eager=True)
     finally:
-        parts.unpersist()
+        s.unpersist()
+        groups.unpersist()
+
+
+def simhash_bucket_stats(
+    sim: DataFrame, id_col: str, blocks: int = 4, max_bucket_size: int = 64
+) -> dict:
+    """Truncation observability for ``simhash_candidates`` — distribution of
+    rep-level block-bucket sizes and what the cap would drop (mirrors
+    ``minhash_bucket_stats``)."""
+    s, groups = _simhash_groups(sim, id_col)
+    try:
+        sizes = _simhash_blocks(groups, blocks).groupBy("blk", "bits").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        row = sizes.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("_n").alias("max_bucket"),
+            F.expr("percentile_approx(_n, 0.99)").alias("p99_bucket"),
+            F.sum(F.when(F.col("_n") > max_bucket_size, 1).otherwise(0)).alias(
+                "buckets_dropped"
+            ),
+            F.sum(
+                F.when(
+                    F.col("_n") > max_bucket_size,
+                    F.col("_n") * (F.col("_n") - 1) / 2,
+                ).otherwise(0)
+            ).alias("candidate_pairs_dropped"),
+        ).first()
+        biggest = groups.agg(F.max("_m").alias("m")).first()["m"]
+        return {
+            "n_buckets": int(row["n_buckets"] or 0),
+            "max_bucket": int(row["max_bucket"] or 0),
+            "p99_bucket": int(row["p99_bucket"] or 0),
+            "buckets_dropped": int(row["buckets_dropped"] or 0),
+            "candidate_pairs_dropped": int(row["candidate_pairs_dropped"] or 0),
+            "max_identical_simhash_group": int(biggest or 0),
+        }
+    finally:
+        s.unpersist()
+        groups.unpersist()
 
 
 # ------------------------------------------------------- embedding cosine
@@ -400,13 +477,22 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def embedding_near_dups(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, num_planes: int = 12
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
     Scale path: random-hyperplane LSH bucket (num_planes sign bits, seeded
     deterministic planes via xxhash of the dimension index — no driver
-    state), verify cosine only within buckets. Pairs (a<b, cosine)."""
+    state), verify cosine only within buckets. Pairs (a<b, cosine).
+    Identical vectors collapse to one representative (star pairs keep the
+    cluster), and cells larger than ``max_bucket_size`` distinct vectors
+    are dropped pre-join — truncation observable via
+    ``embedding_bucket_stats``, never silent."""
     from .similarity import _plane_component
 
     # deterministic pseudo-gaussian-ish plane components in [-1,1]; the
@@ -438,8 +524,37 @@ def embedding_near_dups(
     # barrier: the hyperplane-signature expression (num_planes dot products
     # per row) must not be inlined into both self-join sides.
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    groups = (
+        sigs.groupBy("_v")
+        .agg(
+            F.min("_id").alias("_rid"),
+            F.first("_bucket").alias("_bucket"),
+            F.count(F.lit(1)).alias("_m"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     try:
-        l, r = sigs.alias("l"), sigs.alias("r")
+        # Mega-bucket defense (mirrors minhash/simhash): byte-identical
+        # embeddings (zero vectors, re-encoded duplicates) collapse to one
+        # representative; star pairs rep→member keep the cluster connected
+        # at O(m) cost with the member's true cosine-to-rep (vectors are
+        # identical, so cosine(v,v) — 1.0, or NULL for a zero vector, which
+        # the threshold then drops, exactly as the uncollapsed join would).
+        star = (
+            sigs.join(groups.select("_v", "_rid", "_m"), on="_v")
+            .where((F.col("_m") > 1) & (F.col("_id") != F.col("_rid")))
+            .select(
+                F.col("_rid").alias("a"),
+                F.col("_id").alias("b"),
+                cosine(F.col("_v"), F.col("_v")).alias("cosine"),
+            )
+        )
+        reps = groups.select(F.col("_rid").alias("_id"), "_v", "_bucket")
+        sizes = reps.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+        capped = reps.join(
+            sizes.where(F.col("_n") <= max_bucket_size), on="_bucket", how="inner"
+        ).drop("_n")
+        l, r = capped.alias("l"), capped.alias("r")
         pairs = l.join(
             r,
             (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id")),
@@ -448,12 +563,73 @@ def embedding_near_dups(
             F.col("r._id").alias("b"),
             cosine(F.col("l._v"), F.col("r._v")).alias("cosine"),
         )
-        out = pairs.where(F.col("cosine") >= threshold)
+        out = pairs.union(star).where(F.col("cosine") >= threshold)
         # eager-materialize the (thresholded, small) pair list, release the
         # barrier — see simhash_candidates note.
         return out.localCheckpoint(eager=True)
     finally:
         sigs.unpersist()
+        groups.unpersist()
+
+
+def embedding_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int = 12,
+    max_bucket_size: int = 256,
+) -> dict:
+    """Truncation observability for ``embedding_near_dups`` — distribution
+    of rep-level hyperplane-cell sizes and what the cap would drop."""
+    from .similarity import _plane_component
+
+    dim_planes = F.array(
+        *[
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                _plane_component(f"plane{p}"),
+            )
+            for p in range(num_planes)
+        ]
+    )
+    sigs = df.select(
+        F.col(vec_col).alias("_v"),
+        F.aggregate(
+            F.transform(
+                dim_planes,
+                lambda plane, i: F.when(_dot(plane, F.col(vec_col)) > 0, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit,
+        ).alias("_bucket"),
+    )
+    groups = sigs.groupBy("_v").agg(
+        F.first("_bucket").alias("_bucket"), F.count(F.lit(1)).alias("_m")
+    )
+    sizes = groups.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("_n").alias("max_bucket"),
+        F.expr("percentile_approx(_n, 0.99)").alias("p99_bucket"),
+        F.sum(F.when(F.col("_n") > max_bucket_size, 1).otherwise(0)).alias(
+            "buckets_dropped"
+        ),
+        F.sum(
+            F.when(
+                F.col("_n") > max_bucket_size,
+                F.col("_n") * (F.col("_n") - 1) / 2,
+            ).otherwise(0)
+        ).alias("candidate_pairs_dropped"),
+    ).first()
+    biggest = groups.agg(F.max("_m").alias("m")).first()["m"]
+    return {
+        "n_buckets": int(row["n_buckets"] or 0),
+        "max_bucket": int(row["max_bucket"] or 0),
+        "p99_bucket": int(row["p99_bucket"] or 0),
+        "buckets_dropped": int(row["buckets_dropped"] or 0),
+        "candidate_pairs_dropped": int(row["candidate_pairs_dropped"] or 0),
+        "max_identical_vector_group": int(biggest or 0),
+    }
 
 
 def embedding_near_dups_brute(

@@ -106,6 +106,43 @@ def test_duplicate_delivery(spark, tmp_path):
     _assert_state_equal(_final_state_pdf(engine), _oracle_pdf(base.toPandas()))
 
 
+def test_all_delete_epoch(spark, tmp_path):
+    """Regression: an epoch of 100% deletes empties every touched bucket;
+    the empty dynamic-partition write loses Observation metrics in Spark
+    4.1.2 and used to kill the replay loop. Final state: empty table,
+    correct rows_deleted, loop alive for the next epoch."""
+    ev = change_events(spark, 400, n_repos=4, paths_per_repo=5, seed=11,
+                       op_mix=(1.0, 0.0, 0.0))
+    engine = CdcEngine(spark, str(tmp_path / "t"), num_buckets=4)
+    engine.replay(ev, epoch_size=10**9)
+    live = [(r.repo, r.path) for r in engine.read_state().select("repo", "path").collect()]
+    assert live
+    # epoch 2: one delete event per live key — state goes to zero rows
+    ev_cols = ev.columns
+    from datetime import datetime
+
+    del_rows = [
+        {c: None for c in ev_cols}
+        | {"lsn": 401 + i, "op": "delete", "repo": repo, "path": path,
+           "ts": datetime(2026, 1, 1)}
+        for i, (repo, path) in enumerate(live)
+    ]
+    dels = spark.createDataFrame(
+        [tuple(r[c] for c in ev_cols) for r in del_rows], ev.schema
+    )
+    res = engine.apply_epoch(ev.unionByName(dels), 400, 400 + len(live))
+    assert not res.skipped
+    assert engine.read_state().count() == 0
+    # loop alive: a further epoch of inserts works
+    ev3 = change_events(spark, 100, n_repos=2, paths_per_repo=3, seed=99,
+                        op_mix=(1.0, 0.0, 0.0))
+    base = 400 + len(live)
+    ev3 = ev3.withColumn("lsn", F.col("lsn") + base).select(*ev_cols)
+    res3 = engine.apply_epoch(ev3, base, base + 100)
+    assert not res3.skipped
+    assert engine.read_state().count() > 0
+
+
 def test_salted_equals_plain(spark, tmp_path):
     ev = change_events(spark, 2000, n_repos=3, paths_per_repo=4, zipf_s=2.0, seed=13)
     plain = CdcEngine(spark, str(tmp_path / "p"), num_buckets=4, salted=False)

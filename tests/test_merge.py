@@ -120,6 +120,53 @@ def test_delete_with_condition(spark, tmp_table_root):
     assert {r.k for r in t.read().collect()} == {"a"}
 
 
+def test_merge_delete_wipes_table(spark, tmp_table_root):
+    """Regression: a merge whose delete branch empties EVERY touched bucket
+    used to crash at Observation.get — Spark 4.1.2 never delivers observed
+    metrics for an empty dynamic-partition write. Metrics must still be the
+    true counts (deleted=n), not zeros."""
+    t = _t(spark, tmp_table_root, [("a", 1, "x"), ("b", 2, "y")], buckets=4)
+    src = spark.createDataFrame([("a", 0, "del"), ("b", 0, "del")], SCHEMA)
+    res = merge_into(
+        t,
+        src,
+        on=["k"],
+        when_matched_update="all",
+        when_matched_delete=F.col("s.tag") == "del",
+        when_not_matched_insert=False,
+    )
+    assert res.summary["rows_deleted"] == 2
+    assert res.summary["rows_updated"] == 0
+    assert res.summary["rows_inserted"] == 0
+    assert t.read().count() == 0
+    # table stays usable after the wipe
+    t.append(spark.createDataFrame([("z", 9, "new")], SCHEMA))
+    assert {r.k for r in t.read().collect()} == {"z"}
+
+
+def test_merge_single_row_delete(spark, tmp_table_root):
+    """Hypothesis's minimal crash case: 1-row table, 1 delete op."""
+    t = _t(spark, tmp_table_root, [("a", 1, "x")], buckets=2)
+    src_schema = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+    sdf = spark.createDataFrame([("a", 5, "s", "delete")], src_schema)
+    res = merge_into(
+        t, sdf, on=["k"],
+        when_matched_update="all",
+        when_matched_delete=F.col("s.op") == "delete",
+    )
+    assert res.summary["rows_deleted"] == 1
+    assert t.read().count() == 0
+
+
+def test_delete_all_rows(spark, tmp_table_root):
+    """Regression: delete(t, lit(True)) wipes every hit file → empty
+    partitionBy write → metrics must be recomputed, not lost."""
+    t = _t(spark, tmp_table_root, [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")])
+    res = delete(t, F.lit(True))
+    assert res.summary["rows_affected"] == 3
+    assert t.read().count() == 0
+
+
 def test_merge_expression_on_substring_both_sides(spark, tmp_table_root):
     """Expression ON parity (SampleCrud.scala:38-65): merge on
     substring(code,0,4) of BOTH sides, update size*100 + upper(code) on

@@ -81,6 +81,47 @@ def test_simhash_near_duplicates_share_blocks(spark):
     assert (1, 3) not in cands
 
 
+def test_simhash_mega_cluster_is_linear(spark):
+    """m identical docs share every block: uncollapsed, the block self-join
+    pays O(m²). Collapsed, the cluster costs exactly m-1 star pairs and
+    stays fully connected (rep→every member)."""
+    m = 60
+    rows = [(i, "same exact duplicated text content here " * 10) for i in range(m)]
+    rows += [(1000, "unrelated vocabulary entirely different words " * 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sim = simhash64(df, "doc_id", "text")
+    pairs = [(r.a, r.b) for r in simhash_candidates(sim, "doc_id").collect()]
+    cluster_pairs = [p for p in pairs if p[0] < m and p[1] < m]
+    assert len(cluster_pairs) == m - 1          # star, not quadratic
+    assert {b for _, b in cluster_pairs} == set(range(1, m))  # all connected to rep 0
+    from techtalk_data_pipeline_snowpark_spark.operators.dedup import simhash_bucket_stats
+
+    stats = simhash_bucket_stats(sim, "doc_id")
+    assert stats["max_identical_simhash_group"] == m
+    assert stats["buckets_dropped"] == 0        # collapse keeps buckets tiny
+
+
+def test_embedding_mega_cluster_is_linear(spark):
+    """m identical embeddings collapse to one representative; the cell
+    self-join sees one row for the whole cluster."""
+    m = 60
+    v = [float(x) for x in (0.1, 0.2, 0.3, 0.4)]
+    w = [1.0, -1.0, 0.5, -0.5]
+    rows = [(i, v) for i in range(m)] + [(1000, w)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = embedding_near_dups(df, "vec_id", "embedding", threshold=0.95, num_planes=6)
+    pairs = [(r.a, r.b, r.cosine) for r in got.collect()]
+    cluster = [p for p in pairs if p[0] < m and p[1] < m]
+    assert len(cluster) == m - 1
+    assert all(abs(c - 1.0) < 1e-6 for _, _, c in cluster)
+    assert {b for _, b, _ in cluster} == set(range(1, m))
+    from techtalk_data_pipeline_snowpark_spark.operators.dedup import embedding_bucket_stats
+
+    stats = embedding_bucket_stats(df, "vec_id", "embedding", num_planes=6)
+    assert stats["max_identical_vector_group"] == m
+    assert stats["buckets_dropped"] == 0
+
+
 def test_embedding_near_dups_lsh_superset_check(spark, emb):
     """LSH near-dup pairs must be a subset of brute-force pairs at the same
     threshold, with decent recall on this corpus."""
