@@ -336,10 +336,16 @@ def _rewrite_matching_files(
 
     from pyspark.sql import Observation
 
+    from .stats import prune_files
+
     snap = table.snapshot()
     schema = snap.schema
     cond = F.lit(True) if condition is None else condition
-    df = table._read_files(list(snap.files), schema)
+    # zone-map prune FIRST: only files whose min/max stats overlap the
+    # predicate enter the discovery scan (at 100 TB a selective mutation
+    # opens a handful of files, not the table)
+    candidates = prune_files(snap.files, condition)
+    df = table._read_files(candidates, schema)
     hit_files = [
         r["_f"]
         for r in df.withColumn("_f", F.input_file_name())
@@ -355,7 +361,12 @@ def _rewrite_matching_files(
         rel_hits.append(os.path.relpath(p, root))
     if not rel_hits:
         return table.commit_rewrite(
-            [], [], operation, properties=properties, summary={"rows_affected": 0}
+            [], [], operation, properties=properties,
+            summary={
+                "rows_affected": 0,
+                "files_candidates": len(candidates),
+                "files_total": len(snap.files),
+            },
         )
     sub = table._read_files(rel_hits, schema)
     # SQL semantics: a NULL condition neither updates nor deletes the row.
@@ -383,7 +394,11 @@ def _rewrite_matching_files(
         out = flagged.select(*out_cols)
     adds = table._stage_dataframe(out, schema, snap.num_buckets, snap.key_cols)
     m = _observed_metrics(obs, adds, pre_observe, metric_exprs)
-    summary = {"rows_affected": int(m.get("matched") or 0)}
+    summary = {
+        "rows_affected": int(m.get("matched") or 0),
+        "files_candidates": len(candidates),
+        "files_total": len(snap.files),
+    }
     return table.commit_rewrite(
         adds=adds,
         removes=rel_hits,

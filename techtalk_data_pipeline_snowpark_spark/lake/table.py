@@ -252,10 +252,10 @@ class LakeTable:
             for rm in e.get("remove", []):
                 files.pop(rm, None)
             for add in e.get("add", []):
-                files[add["path"]] = {
-                    "rows": add.get("rows"),
-                    "bucket": add.get("bucket"),
-                }
+                meta = {"rows": add.get("rows"), "bucket": add.get("bucket")}
+                if add.get("stats"):
+                    meta["stats"] = add["stats"]
+                files[add["path"]] = meta
             props.update(e.get("properties", {}))
         schema = T.StructType.fromJson(json.loads(schema_json))
         return Snapshot(version, schema, files, key_cols, num_buckets, props)
@@ -273,6 +273,20 @@ class LakeTable:
         # null; int32 files under a widened long column are upcast by the
         # parquet vectorized reader (verified in tests).
         return self.spark.read.schema(schema).parquet(*paths)
+
+    def read_where(self, condition, version: int | None = None) -> DataFrame:
+        """Zone-map-pruned scan: files whose min/max stats cannot satisfy
+        ``condition`` are dropped driver-side before the parquet read plan
+        is even built; the predicate still filters every surviving row
+        (pruning is a pure optimization). At 100 TB a selective predicate
+        turns a full-table scan into a handful of file reads — the Spark
+        equivalent of Snowflake micro-partition pruning."""
+        from .stats import prune_files
+
+        snap = self.snapshot(version)
+        cand = prune_files(snap.files, condition)
+        df = self._read_files(cand, snap.schema)
+        return df if condition is None else df.where(condition)
 
     def read_incremental(
         self,
@@ -412,6 +426,11 @@ class LakeTable:
         """Write df into data/ and return add-entries (not yet committed)."""
         staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
         adds: list[dict] = []
+        # INT96 (Spark's legacy default) carries no parquet column stats, so
+        # timestamp zone maps would be empty; TIMESTAMP_MICROS is the
+        # deprecation-path encoding and every modern reader (incl. DuckDB,
+        # pyarrow) reads it natively.
+        self.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         if num_buckets:
             out = df.select(*ordered, bucket_expr(key_cols, num_buckets).alias("_b"))
@@ -469,6 +488,12 @@ class LakeTable:
                     os.rename(os.path.join(staging, fn), os.path.join(self.root, rel))
                     adds.append({"path": rel, "bucket": None})
         shutil.rmtree(staging, ignore_errors=True)
+        # zone maps: per-file min/max/null-count from the parquet footers the
+        # write just produced (no data pages read) — ride the add-entries so
+        # every snapshot can prune mutations/scans driver-side (lake/stats.py)
+        from .stats import enrich_adds_with_stats
+
+        enrich_adds_with_stats(self.root, adds, schema)
         return adds
 
     def append(self, df: DataFrame, properties: dict | None = None) -> CommitResult:
