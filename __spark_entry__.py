@@ -502,6 +502,165 @@ FROM orders WHERE o_orderkey < 100
 """
 
 
+def read_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed through the oracle gate (§2.11 changelog;
+    Snowflake stream parity SnowflakeUtils.scala:46-66): seed a lake table
+    from orders, apply ONE MERGE carrying updates + deletes + inserts, and
+    return read_changelog's rows for that commit — insert /
+    update_postimage / delete recovered by the bucket-scoped snapshot
+    diff, exactly SQL-expressible."""
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    root = tempfile.mkdtemp(prefix="changelog_")
+    t = LakeTable.create(
+        spark, os.path.join(root, "t"), schema, key_cols=["o_orderkey"], num_buckets=8
+    )
+    t.append(orders)
+    v1 = t.latest_version()
+    upd = orders.where(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey", "o_custkey",
+        (F.col("price") * 2).alias("price"), F.lit("upsert").alias("op"),
+    )
+    dele = orders.where(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey", "o_custkey", "price", F.lit("delete").alias("op")
+    )
+    ins = orders.where(F.col("o_orderkey") % 10 == 1).select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+        "o_custkey", (F.col("price") + 1).alias("price"),
+        F.lit("upsert").alias("op"),
+    )
+    merge_into(
+        t,
+        upd.unionByName(dele).unionByName(ins),
+        on=["o_orderkey"],
+        when_matched_update="all",
+        when_matched_delete=F.col("s.op") == "delete",
+    )
+    ch = t.read_changelog(v1)
+    return ch.select("o_orderkey", "o_custkey", "price", "_change_type")
+
+
+_CHANGELOG_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders
+)
+SELECT o_orderkey, o_custkey, price * 2 AS price,
+       'update_postimage' AS _change_type
+FROM base WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT o_orderkey, o_custkey, price, 'delete' AS _change_type
+FROM base WHERE o_orderkey % 10 = 7
+UNION ALL
+SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, price + 1 AS price,
+       'insert' AS _change_type
+FROM base WHERE o_orderkey % 10 = 1
+"""
+
+
+_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+
+def stream_ingest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 stream-on-stage through the oracle gate
+    (IngestPaymentsStreamFromStage.scala:32-71): land two JSON-array
+    payload files whose row sets OVERLAP (duplicate delivery), drain with
+    one availableNow pass, then run a second drain that must be a no-op
+    (checkpoint manifest = exactly-once). Final state == distinct input
+    rows."""
+    from techtalk_data_pipeline_snowpark_spark.streaming.file_ingest import (
+        create_stage,
+        land_file,
+        stream_ingest,
+    )
+
+    sub = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+    rows1 = sub.where(F.col("o_orderkey") < 100)
+    rows2 = sub.where(F.col("o_orderkey") >= 50)  # 50-99 delivered twice
+    root = tempfile.mkdtemp(prefix="stream_ingest_")
+    stage = create_stage(os.path.join(root, "stage"))
+    land_file(stage, "[" + ",".join(rows1.toJSON().collect()) + "]")
+    land_file(stage, "[" + ",".join(rows2.toJSON().collect()) + "]")
+    for _ in range(2):  # second pass: no new files → no effect
+        q = stream_ingest(
+            spark, stage, os.path.join(root, "cp"), os.path.join(root, "t"),
+            _STREAM_SCHEMA, merge_keys=["o_orderkey"],
+        )
+        q.awaitTermination()
+    return LakeTable(spark, os.path.join(root, "t")).read()
+
+
+_STREAM_INGEST_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderkey < 200
+"""
+
+
+def cloud_event_ingest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 notification-driven auto-ingest through the oracle gate
+    (Event-grid-template/template.json → Snowpipe): three payload blobs
+    land, only two get BlobCreated notifications — the un-notified blob
+    must never be read (the whole point of notification-driven ingest at
+    cloud scale: no stage listing)."""
+    from techtalk_data_pipeline_snowpark_spark.streaming.file_ingest import (
+        cloud_event_ingest,
+        create_stage,
+        land_cloud_event,
+        land_file,
+    )
+
+    sub = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="cloud_ingest_")
+    blobs = create_stage(os.path.join(root, "blobs"))
+    notif = os.path.join(root, "notifications")
+    paths = []
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        rows = sub.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+        paths.append(land_file(blobs, "[" + ",".join(rows.toJSON().collect()) + "]"))
+    land_cloud_event(notif, paths[0])
+    land_cloud_event(notif, paths[1])  # paths[2] never notified → never read
+    q = cloud_event_ingest(
+        spark, notif, os.path.join(root, "cp"), os.path.join(root, "t"),
+        _STREAM_SCHEMA, merge_keys=["o_orderkey"],
+    )
+    q.awaitTermination()
+    return LakeTable(spark, os.path.join(root, "t")).read()
+
+
+_CLOUD_INGEST_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderkey < 200
+"""
+
+
 def employee_industry_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SampleStream J2 parity (SampleStream.scala:65-96): EMPLOYEE joined to
     the INDUSTRY_CODE *stream* (lake incremental scan) on the COMPUTED key
@@ -872,6 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crud_update_delete": crud_update_delete,
         "merge_expression_key": merge_expression_key,
         "ingest_orders_roundtrip": ingest_orders_roundtrip,
+        "read_changelog_orders": read_changelog_orders,
+        "stream_ingest_orders": stream_ingest_orders,
+        "cloud_event_ingest_orders": cloud_event_ingest_orders,
         "employee_industry_join": employee_industry_join,
         "exact_dedup_docs": exact_dedup_docs,
         "token_stats_docs": token_stats_docs,
@@ -904,6 +1066,9 @@ def oracle_sql() -> dict[str, str]:
         "crud_update_delete": _CRUD_ORACLE,
         "merge_expression_key": _MERGE_EXPR_ORACLE,
         "ingest_orders_roundtrip": _INGEST_ORACLE,
+        "read_changelog_orders": _CHANGELOG_ORACLE,
+        "stream_ingest_orders": _STREAM_INGEST_ORACLE,
+        "cloud_event_ingest_orders": _CLOUD_INGEST_ORACLE,
         "employee_industry_join": _EMPLOYEE_INDUSTRY_ORACLE,
         "exact_dedup_docs": _EXACT_DEDUP_ORACLE,
         "token_stats_docs": _TOKEN_STATS_ORACLE,

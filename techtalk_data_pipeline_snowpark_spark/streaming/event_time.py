@@ -116,8 +116,23 @@ def stream_dedup(
     )
 
 
-def _session_fn(gap_seconds: int):
+def _session_fn(gap_seconds: int, event_time: bool):
     cols = [f.name for f in SESSION_SCHEMA.fields]
+
+    def arm(state: GroupState, last_s: int) -> None:
+        """Re-arm the idle-session timer. Event-time mode: fire when the
+        WATERMARK passes last+gap — replay-speed invariant (a historical
+        stream replayed 100× faster closes the same sessions at the same
+        event times). Processing-time mode: wall-clock idle timer."""
+        if event_time:
+            target = (last_s + gap_seconds) * 1000
+            # Spark rejects timeout timestamps at/below the current
+            # watermark — the session is already expired; the next batch's
+            # hasTimedOut pass collects it after this clamped arm.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(target, wm + 1))
+        else:
+            state.setTimeoutDuration(gap_seconds * 1000)
 
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -136,12 +151,12 @@ def _session_fn(gap_seconds: int):
         chunks = list(pdfs)
         if not chunks:  # zero-chunk delivery: keep state, re-arm the timer
             if last0 is not None:
-                state.setTimeoutDuration(gap_seconds * 1000)
+                arm(state, last0)
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         if len(pdf) == 0:
             if last0 is not None:
-                state.setTimeoutDuration(gap_seconds * 1000)  # keep the timer armed
+                arm(state, last0)  # keep the timer armed
             return
         import numpy as np
 
@@ -178,7 +193,7 @@ def _session_fn(gap_seconds: int):
         state.update(
             (int(seg_start[k - 1]), int(seg_end[k - 1]), int(counts[k - 1]), float(sums[k - 1]))
         )
-        state.setTimeoutDuration(gap_seconds * 1000)
+        arm(state, int(seg_end[k - 1]))
         out.append(
             [user_id, int(seg_start[k - 1]), int(seg_end[k - 1]), int(counts[k - 1]),
              float(sums[k - 1]), False]  # open-session progress
@@ -194,22 +209,40 @@ def stateful_sessions(
     ts_col: str = "ts",
     value_col: str = "value",
     gap_seconds: int = 1800,
+    timeout: str = "event",
+    watermark: str = "10 minutes",
 ) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessions per user.
 
     Emits a row per (user, batch) with the running open session
     (closed=False) and a final row when a gap/timeout closes it
     (closed=True). Use on ``readStream`` input with
-    ``outputMode("update")``."""
+    ``outputMode("update")``.
+
+    ``timeout="event"`` (default): idle sessions close when the WATERMARK
+    passes last_event + gap — replay-speed invariant, the correct semantics
+    for replayed historical streams (a backfill at 100× speed closes the
+    same sessions as live ingestion; wall-clock pauses between micro-
+    batches never close a session spuriously). ``timeout="processing"``
+    keeps the wall-clock idle timer for genuinely live feeds where the
+    source stops producing watermark updates when idle."""
+    event_mode = timeout == "event"
     prepped = events.select(
         F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("_et"),
         F.unix_timestamp(F.col(ts_col).cast("timestamp")).alias("secs"),
         F.col(value_col).cast("double").alias("value"),
     )
+    if event_mode:
+        prepped = prepped.withWatermark("_et", watermark)
     return prepped.groupBy("user_id").applyInPandasWithState(
-        _session_fn(gap_seconds),
+        _session_fn(gap_seconds, event_mode),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if event_mode
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -156,6 +156,77 @@ def test_stateful_sessions_group_spanning_arrow_chunks(spark, tmp_path):
         assert got[(7, start)] == (end, n, s)
 
 
+def test_stateful_sessions_replay_speed_invariant(spark, tmp_path):
+    """Event-time timeout (default): a historical stream replayed slowly —
+    chunked across separate query runs with a wall-clock pause beyond the
+    session gap — must close the SAME sessions as a single fast drain.
+    Under the old ProcessingTimeTimeout the pause spuriously closed every
+    open session; the event-time timer only fires when the WATERMARK
+    passes last_event + gap."""
+    import time
+
+    base = 1_700_000_000
+    # one user, 20 events spaced 60 s apart — ONE session under gap=300
+    rows = [(1, base + i * 60, 1.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "user_id long, secs long, value double").select(
+        "user_id", F.to_timestamp(F.from_unixtime("secs")).alias("ts"), "value"
+    )
+
+    def run(events_dir, cp_dir, out_dir):
+        # memory sink can't recover a checkpoint — foreachBatch → parquet
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("_bid", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        stream = spark.readStream.schema(df.schema).parquet(events_dir)
+        q = (
+            stateful_sessions(stream, gap_seconds=300)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp_dir)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(240)
+
+    def final_sessions(out_dir):
+        out = {}
+        rows = sorted(
+            spark.read.parquet(out_dir).collect(), key=lambda r: r["_bid"]
+        )
+        for r in rows:  # last emission per session wins
+            out[(r.user_id, r.session_start_s)] = (
+                r.session_end_s, r.n_events, r.sum_value, r.closed,
+            )
+        return out
+
+    # fast replay: everything in one drain
+    fast_dir, fast_cp = str(tmp_path / "fast_ev"), str(tmp_path / "fast_cp")
+    fast_out = str(tmp_path / "fast_out")
+    df.coalesce(1).write.parquet(fast_dir)
+    run(fast_dir, fast_cp, fast_out)
+
+    # slow replay: first half, wall-clock pause, query RESTART from the
+    # same checkpoint with the second half
+    slow_dir, slow_cp = str(tmp_path / "slow_ev"), str(tmp_path / "slow_cp")
+    slow_out = str(tmp_path / "slow_out")
+    half1, half2 = df.where(F.col("secs") < base + 600), df.where(
+        F.col("secs") >= base + 600
+    )
+    half1.coalesce(1).write.parquet(slow_dir)
+    run(slow_dir, slow_cp, slow_out)
+    time.sleep(2)  # wall time passes; event time does not
+    half2.coalesce(1).write.mode("append").parquet(slow_dir)
+    run(slow_dir, slow_cp, slow_out)
+
+    fast = final_sessions(fast_out)
+    slow = final_sessions(slow_out)
+    assert set(fast) == set(slow) == {(1, base)}, (fast, slow)
+    # the continuing session was NOT closed by the pause: both replays end
+    # with the same open session covering all 20 events
+    assert fast[(1, base)] == slow[(1, base)]
+    assert slow[(1, base)][1] == 20 and slow[(1, base)][3] is False
+
+
 def test_sliding_counts_stream_equals_batch(spark, sf_dir, tmp_path):
     from techtalk_data_pipeline_snowpark_spark.streaming.event_time import sliding_counts
 
