@@ -96,6 +96,7 @@ class CdcEngine:
         num_salts: int = 16,
         use_pandas_udfs: bool = True,
         broadcast_key_limit: int = 2_000_000,
+        mor_all_delete_epochs: bool = True,
     ):
         self.spark = spark
         self.table_root = table_root
@@ -109,6 +110,10 @@ class CdcEngine:
         # back to a shuffled semi-join whose key partitioning the merge
         # join then reuses.
         self.broadcast_key_limit = broadcast_key_limit
+        # a 100%-delete epoch commits deletion vectors (merge-on-read)
+        # instead of rewriting every touched bucket — see lake/merge.py
+        # mor_delete_keys; compact() absorbs the DVs off the ingest path.
+        self.mor_all_delete_epochs = mor_all_delete_epochs
 
     # ------------------------------------------------------------- state
     def table(self) -> LakeTable:
@@ -304,10 +309,15 @@ class CdcEngine:
     ) -> EpochResult:
         stats = winners.groupBy(
             bucket_expr(self.key_cols, self.num_buckets).alias("_b")
-        ).agg(F.max("lsn").alias("max_lsn"), F.count(F.lit(1)).alias("n"))
+        ).agg(
+            F.max("lsn").alias("max_lsn"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_del"),
+        )
         stat_rows = stats.collect()
         ph.mark("winner-stats-collect")
         n_events = int(sum(r["n"] for r in stat_rows))
+        n_delete_winners = int(sum(r["n_del"] for r in stat_rows))
         partition_offsets = {str(r["_b"]): int(r["max_lsn"]) for r in stat_rows}
 
         # Payload path: salted two-phase reduction for adversarial skew, or
@@ -371,6 +381,38 @@ class CdcEngine:
             "lineage": lineage or {},
             "committed_at": time.time(),
         }
+        if (
+            self.mor_all_delete_epochs
+            and n_delete_winners == n_events
+            and snap_for_merge.files
+        ):
+            # every winner is a delete → merge-on-read: key-semi-join scan
+            # of the touched buckets records doomed (file, pos) pairs as
+            # deletion vectors; zero surviving rows rewritten. The commit
+            # still carries the epoch manifest + LSN watermark atomically.
+            from ..lake.merge import mor_delete_keys
+
+            res = mor_delete_keys(
+                table,
+                winners,
+                self.key_cols,
+                snap=snap_for_merge,
+                properties={
+                    PROP_LAST_LSN: lsn_to,
+                    PROP_EPOCH_ID: epoch_id,
+                    "cdc.manifest": json.dumps(manifest),
+                },
+                touched_buckets=(
+                    [int(b) for b in partition_offsets] if buckets_trusted else None
+                ),
+                broadcast=n_events <= self.broadcast_key_limit,
+            )
+            ph.mark("mor-delete+commit")
+            return EpochResult(
+                epoch_id, lsn_from, lsn_to, n_events,
+                0, 0, res.summary["rows_affected"],
+            )
+
         res = merge_into(
             table,
             dedup,

@@ -161,7 +161,7 @@ def merge_into(
     else:
         buckets, touched_files, untouched = None, list(snap.files), []
 
-    tgt = table._read_files(touched_files, schema)
+    tgt = table._read_files(touched_files, schema, files_meta=snap.files)
 
     # ---- arbitration
     if on_expr is not None:
@@ -315,9 +315,131 @@ def delete(
     table: LakeTable,
     condition: Column,
     properties: dict | None = None,
+    mode: str = "cow",
 ) -> CommitResult:
-    """DELETE FROM table WHERE ... (SampleCrud.scala:71-75)."""
+    """DELETE FROM table WHERE ... (SampleCrud.scala:71-75).
+
+    ``mode="cow"`` (default) rewrites every file containing a matching row
+    — right when deletes are dense in the hit files. ``mode="mor"``
+    (merge-on-read, Iceberg v2 positional-delete shape) records the doomed
+    (file, row-position) pairs in a deletion-vector parquet and commits
+    METADATA ONLY: no surviving row is rewritten, so a delete-heavy epoch
+    (or an all-delete one) costs one scan + a tiny DV write instead of
+    full-bucket write amplification. Readers anti-join the DV at scan time;
+    ``compact()`` absorbs accumulated DVs back into clean files.
+    """
+    if mode == "mor":
+        return _delete_mor(table, condition, properties)
+    if mode != "cow":
+        raise ValueError(f"unknown delete mode {mode!r} (cow|mor)")
     return _rewrite_matching_files(table, condition, "delete", properties, None)
+
+
+def _delete_mor(
+    table: LakeTable,
+    condition: Column,
+    properties: dict | None,
+) -> CommitResult:
+    import os
+
+    from .stats import prune_files
+
+    snap = table.snapshot()
+    schema = snap.schema
+    cond = F.coalesce(condition, F.lit(False))
+    candidates = prune_files(snap.files, condition)
+    df = table._read_files(
+        candidates, schema, files_meta=snap.files, keep_position=True
+    )
+    hits = df.where(cond).select(
+        F.col("__fname").alias("fname"), F.col("__pos").alias("pos")
+    )
+    dv_rels, per_file = table._stage_dv(hits)
+    summary_base = {
+        "files_candidates": len(candidates),
+        "files_total": len(snap.files),
+        "mode": "mor",
+    }
+    if not per_file:
+        return table.commit_rewrite(
+            [], [], "delete", properties=properties,
+            summary={"rows_affected": 0, **summary_base},
+        )
+    fname_to_rel = {os.path.basename(p): p for p in candidates}
+    # every affected file references the whole DV file set for this commit;
+    # the read-side anti-join keys on (fname, pos), so cross-file rows in a
+    # shared DV file can never mis-apply.
+    dv_map = {fname_to_rel[fn]: list(dv_rels) for fn in per_file}
+    return table.commit_rewrite(
+        adds=[],
+        removes=[],
+        operation="delete",
+        properties=properties,
+        summary={
+            "rows_affected": int(sum(per_file.values())),
+            "files_with_dv": len(per_file),
+            "dv_files": len(dv_rels),
+            **summary_base,
+        },
+        expected_version=snap.version + 1,
+        dv=dv_map,
+    )
+
+
+def mor_delete_keys(
+    table: LakeTable,
+    source_keys: DataFrame,
+    keys: list[str],
+    snap=None,
+    properties: dict | None = None,
+    touched_buckets: list[int] | None = None,
+    broadcast: bool = True,
+) -> CommitResult:
+    """Delete every target row whose key appears in ``source_keys``, as
+    deletion vectors (merge-on-read). This is the all-delete CDC epoch fast
+    path: a 100%-delete epoch costs one bucket-pruned key-semi-join scan +
+    a tiny DV write — NO surviving row is rewritten (copy-on-write MERGE
+    would rewrite every touched bucket to drop a few rows). ``compact``
+    absorbs the DVs later, off the ingest latency path.
+    """
+    snap = snap if snap is not None else table.snapshot()
+    can_prune = bool(snap.num_buckets) and list(keys) == list(snap.key_cols)
+    if can_prune:
+        buckets = (
+            sorted(touched_buckets)
+            if touched_buckets is not None
+            else _touched_buckets(source_keys, keys, snap.num_buckets)
+        )
+        files = snap.files_in_buckets(set(buckets))
+    else:
+        files = list(snap.files)
+    import os
+
+    tgt = table._read_files(files, snap.schema, files_meta=snap.files, keep_position=True)
+    sk = source_keys.select(*keys).distinct()
+    if broadcast:
+        sk = F.broadcast(sk)
+    hits = tgt.join(sk, on=list(keys), how="left_semi").select(
+        F.col("__fname").alias("fname"), F.col("__pos").alias("pos")
+    )
+    dv_rels, per_file = table._stage_dv(hits)
+    summary = {
+        "rows_affected": int(sum(per_file.values())),
+        "files_with_dv": len(per_file),
+        "files_scanned": len(files),
+        "mode": "mor",
+    }
+    fname_to_rel = {os.path.basename(p): p for p in files}
+    dv_map = {fname_to_rel[fn]: list(dv_rels) for fn in per_file} if per_file else None
+    return table.commit_rewrite(
+        adds=[],
+        removes=[],
+        operation="delete",
+        properties=properties,
+        summary=summary,
+        expected_version=snap.version + 1,
+        dv=dv_map,
+    )
 
 
 def _rewrite_matching_files(
@@ -345,20 +467,18 @@ def _rewrite_matching_files(
     # predicate enter the discovery scan (at 100 TB a selective mutation
     # opens a handful of files, not the table)
     candidates = prune_files(snap.files, condition)
-    df = table._read_files(candidates, schema)
-    hit_files = [
-        r["_f"]
-        for r in df.withColumn("_f", F.input_file_name())
-        .where(cond)
-        .select("_f")
-        .distinct()
-        .collect()
+    # DV-aware discovery: already-deleted rows can't re-match; file identity
+    # comes from the scan's own __fname (basename, uuid-unique) rather than
+    # input_file_name(), which goes ambiguous once the DV scan joins in.
+    df = table._read_files(
+        candidates, schema, files_meta=snap.files, keep_position=True
+    )
+    hit_fnames = [
+        r["__fname"]
+        for r in df.where(cond).select("__fname").distinct().collect()
     ]
-    root = os.path.realpath(table.root)
-    rel_hits = []
-    for fpath in hit_files:
-        p = os.path.realpath(fpath.replace("file://", "").replace("file:", ""))
-        rel_hits.append(os.path.relpath(p, root))
+    fname_to_rel = {os.path.basename(p): p for p in candidates}
+    rel_hits = sorted(fname_to_rel[f] for f in hit_fnames)
     if not rel_hits:
         return table.commit_rewrite(
             [], [], operation, properties=properties,
@@ -368,7 +488,7 @@ def _rewrite_matching_files(
                 "files_total": len(snap.files),
             },
         )
-    sub = table._read_files(rel_hits, schema)
+    sub = table._read_files(rel_hits, schema, files_meta=snap.files)
     # SQL semantics: a NULL condition neither updates nor deletes the row.
     pre_observe = sub.withColumn("__hit", F.coalesce(cond, F.lit(False)))
     obs = Observation(f"{operation}-{uuid4().hex}")

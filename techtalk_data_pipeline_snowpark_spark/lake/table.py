@@ -141,16 +141,27 @@ class LakeTable:
     def _log_path(self, version: int) -> str:
         return os.path.join(self.root, LOG_DIR, f"{version:020d}.json")
 
-    def latest_version(self) -> int:
+    def _log_versions(self) -> list[int]:
         entries = os.listdir(os.path.join(self.root, LOG_DIR))
-        versions = [
+        return [
             int(e.split(".")[0])
             for e in entries
             if e.endswith(".json") and ".checkpoint." not in e and not e.startswith(".")
         ]
+
+    def latest_version(self) -> int:
+        versions = self._log_versions()
         if not versions:
             raise FileNotFoundError(f"no commits in {self.root}")
         return max(versions)
+
+    def oldest_version(self) -> int:
+        """Oldest log entry still on disk — after ``vacuum_metadata`` this
+        is the time-travel/changelog horizon, not necessarily 1."""
+        versions = self._log_versions()
+        if not versions:
+            raise FileNotFoundError(f"no commits in {self.root}")
+        return min(versions)
 
     def log_entries(self, start: int = 1, end: int | None = None) -> list[dict]:
         end = end if end is not None else self.latest_version()
@@ -256,6 +267,12 @@ class LakeTable:
                 if add.get("stats"):
                     meta["stats"] = add["stats"]
                 files[add["path"]] = meta
+            # merge-on-read deletes: {data_rel_path: [dv_rel_path, ...]} —
+            # DV refs accumulate on the file's meta until a rewrite removes
+            # the file (the refs die with it; compact absorbs them).
+            for p, dvs in (e.get("dv") or {}).items():
+                if p in files:
+                    files[p].setdefault("dv", []).extend(dvs)
             props.update(e.get("properties", {}))
         schema = T.StructType.fromJson(json.loads(schema_json))
         return Snapshot(version, schema, files, key_cols, num_buckets, props)
@@ -263,16 +280,77 @@ class LakeTable:
     # ---------------------------------------------------------------- read
     def read(self, version: int | None = None) -> DataFrame:
         snap = self.snapshot(version)
-        return self._read_files(list(snap.files), snap.schema)
+        return self._read_files(list(snap.files), snap.schema, files_meta=snap.files)
 
-    def _read_files(self, rel_paths: list[str], schema: T.StructType) -> DataFrame:
+    def _read_files(
+        self,
+        rel_paths: list[str],
+        schema: T.StructType,
+        files_meta: dict[str, dict] | None = None,
+        keep_position: bool = False,
+    ) -> DataFrame:
+        """Scan a file set. With ``files_meta`` (a Snapshot.files dict), any
+        deletion vectors referenced by the requested files are applied: rows
+        at recorded (file, position) pairs are anti-joined out via the
+        parquet ``_metadata.row_index`` column — merge-on-read, the Iceberg
+        v2 positional-delete shape. ``keep_position=True`` additionally
+        exposes ``__fname``/``__pos`` (file basename + row index) so mutation
+        discovery can record positions without ``input_file_name()`` (which
+        goes ambiguous once the DV side joins into the plan)."""
         if not rel_paths:
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            if keep_position:
+                df = df.withColumn("__fname", F.lit(None).cast("string")).withColumn(
+                    "__pos", F.lit(None).cast("long")
+                )
+            return df
         paths = [os.path.join(self.root, p) for p in rel_paths]
+        dv_rel: list[str] = []
+        if files_meta is not None:
+            dv_rel = sorted(
+                {
+                    d
+                    for p in rel_paths
+                    for d in (files_meta.get(p, {}) or {}).get("dv", [])
+                }
+            )
         # Explicit schema → old files missing newly-added columns read as
         # null; int32 files under a widened long column are upcast by the
         # parquet vectorized reader (verified in tests).
-        return self.spark.read.schema(schema).parquet(*paths)
+        base = self.spark.read.schema(schema).parquet(*paths)
+        if not dv_rel and not keep_position:
+            return base
+        cols = [F.col(f.name) for f in schema.fields]
+        with_pos = base.select(
+            *cols,
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "__fname"
+            ),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        if dv_rel:
+            dv = self._read_dv(dv_rel)
+            # anti-join on (file basename, row position); basenames are
+            # uuid4-unique by construction. The DV side is tiny relative to
+            # the data (it is compacted away on the next rewrite) — AQE
+            # broadcasts it; correctness never depends on the strategy.
+            with_pos = with_pos.join(
+                dv,
+                (F.col("__fname") == dv["fname"]) & (F.col("__pos") == dv["pos"]),
+                "left_anti",
+            )
+        return with_pos if keep_position else with_pos.select(*cols)
+
+    def _read_dv(self, dv_rel: list[str]) -> DataFrame:
+        dv_schema = T.StructType(
+            [
+                T.StructField("fname", T.StringType()),
+                T.StructField("pos", T.LongType()),
+            ]
+        )
+        return self.spark.read.schema(dv_schema).parquet(
+            *[os.path.join(self.root, d) for d in dv_rel]
+        )
 
     def read_where(self, condition, version: int | None = None) -> DataFrame:
         """Zone-map-pruned scan: files whose min/max stats cannot satisfy
@@ -285,7 +363,7 @@ class LakeTable:
 
         snap = self.snapshot(version)
         cand = prune_files(snap.files, condition)
-        df = self._read_files(cand, snap.schema)
+        df = self._read_files(cand, snap.schema, files_meta=snap.files)
         return df if condition is None else df.where(condition)
 
     def read_incremental(
@@ -366,7 +444,20 @@ class LakeTable:
                 F.lit(version).cast("long").alias("_commit_version"),
             )
 
-        for e in self.log_entries(start_version + 1, end_version):
+        entries = self.log_entries(start_version + 1, end_version)
+        # DV bookkeeping is only worth per-entry prev-snapshot lookups when
+        # deletion vectors can actually exist in the range: either carried
+        # in from before start_version or added by an entry in range.
+        dv_possible = any(e.get("dv") for e in entries)
+        if not dv_possible and start_version >= 1:
+            try:
+                dv_possible = any(
+                    (m or {}).get("dv")
+                    for m in self.snapshot(start_version).files.values()
+                )
+            except Exception:
+                dv_possible = True  # can't prove absence → stay correct
+        for e in entries:
             v = e["version"]
             adds = [a["path"] for a in e.get("add", [])]
             removes = e.get("remove", [])
@@ -375,13 +466,42 @@ class LakeTable:
                 if adds:
                     pieces.append(_tag(self._read_files(adds, schema), "insert", v))
                 continue
+            if e.get("dv"):
+                # merge-on-read delete: the commit's own DV files name the
+                # rows it killed — (file, pos) pairs. Read the affected
+                # files with the PRE-commit DV state applied (rows already
+                # dead can't be re-deleted; discovery scanned them out) and
+                # semi-join the new positions. Touched-file-scoped, never
+                # the whole table.
+                prev = self.snapshot(v - 1)
+                affected = sorted(e["dv"].keys())
+                dv_new = sorted({d for ds in e["dv"].values() for d in ds})
+                rows = self._read_files(
+                    affected, schema, files_meta=prev.files, keep_position=True
+                )
+                dv = self._read_dv(dv_new)
+                deleted = rows.join(
+                    dv,
+                    (F.col("__fname") == dv["fname"]) & (F.col("__pos") == dv["pos"]),
+                    "left_semi",
+                ).select(*[F.col(f.name) for f in schema.fields])
+                pieces.append(_tag(deleted, "delete", v))
+                continue
             if op == "compact" or (not adds and not removes):
                 # compact is row-set-invariant (its diff is empty by
                 # construction — don't pay the exceptAll to prove it);
                 # evolve-schema / empty epochs are metadata-only
                 continue
             new_rows = self._read_files(adds, schema)
-            old_rows = self._read_files(removes, schema)
+            # pre-image must reflect DVs that existed BEFORE this commit —
+            # a rewrite of a DV-carrying file would otherwise resurrect the
+            # dead rows as spurious deletes in the diff.
+            prev_meta = None
+            if removes and dv_possible:
+                prev_meta = self.snapshot(v - 1).files
+                if not any((prev_meta.get(p, {}) or {}).get("dv") for p in removes):
+                    prev_meta = None
+            old_rows = self._read_files(removes, schema, files_meta=prev_meta)
             changed = new_rows.exceptAll(old_rows)
             removed = old_rows.exceptAll(new_rows)
             if keys:
@@ -496,6 +616,39 @@ class LakeTable:
         enrich_adds_with_stats(self.root, adds, schema)
         return adds
 
+    def _stage_dv(self, hits: DataFrame) -> tuple[list[str], dict[str, int]]:
+        """Write a deletion-vector parquet set from a (fname, pos) DataFrame
+        into ``data/_dv/`` (not yet committed). Returns (dv rel paths,
+        per-file deleted-row counts) — the counts come from one aggregation
+        over the just-written (tiny) DV files, giving the commit both its
+        affected-file map and rows_affected without rescanning the table."""
+        staging = os.path.join(self.root, f".staging-dv-{uuid.uuid4().hex}")
+        # DV files are re-read on every subsequent scan of their data files
+        # — keep them few; 8 writers is plenty for a metadata-sized output.
+        hits.coalesce(8).write.mode("overwrite").parquet(staging)
+        os.makedirs(os.path.join(self.root, DATA_DIR, "_dv"), exist_ok=True)
+        rels: list[str] = []
+        for fn in os.listdir(staging):
+            if fn.endswith(".parquet"):
+                rel = f"{DATA_DIR}/_dv/{uuid.uuid4().hex}.parquet"
+                os.rename(os.path.join(staging, fn), os.path.join(self.root, rel))
+                rels.append(rel)
+        shutil.rmtree(staging, ignore_errors=True)
+        if not rels:
+            return [], {}
+        per_file = {
+            r["fname"]: r["n"]
+            for r in self._read_dv(rels)
+            .groupBy("fname")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not per_file:  # scan matched nothing — drop the empty DV files
+            for rel in rels:
+                os.unlink(os.path.join(self.root, rel))
+            return [], {}
+        return rels, per_file
+
     def append(self, df: DataFrame, properties: dict | None = None) -> CommitResult:
         snap = self.snapshot()
         adds = self._stage_dataframe(df, snap.schema, snap.num_buckets, snap.key_cols)
@@ -537,6 +690,7 @@ class LakeTable:
         properties: dict | None = None,
         summary: dict | None = None,
         expected_version: int | None = None,
+        dv: dict[str, list[str]] | None = None,
     ) -> CommitResult:
         entry = {
             "operation": operation,
@@ -545,6 +699,8 @@ class LakeTable:
             "properties": properties or {},
             "summary": summary or {},
         }
+        if dv:
+            entry["dv"] = dv
         if schema is not None:
             entry["schema"] = schema.json()
         return self._commit(entry, expected_version=expected_version)
@@ -563,23 +719,31 @@ class LakeTable:
             by_bucket: dict[int, list[str]] = {}
             for p, m in snap.files.items():
                 by_bucket.setdefault(m.get("bucket"), []).append(p)
+            # a bucket is a victim when over the file target OR any of its
+            # files carries deletion vectors — compact absorbs DVs (the
+            # DV-filtered read materializes live rows only; the refs die
+            # with the removed files)
             victims = [
                 p
                 for b, paths in by_bucket.items()
                 if len(paths) > max_files_per_bucket
+                or any(snap.files[p].get("dv") for p in paths)
                 for p in paths
             ]
             if not victims:
                 return CommitResult(version=snap.version, summary={"files_compacted": 0})
-            df = self._read_files(victims, snap.schema)
+            df = self._read_files(victims, snap.schema, files_meta=snap.files)
             adds = self._stage_dataframe(
                 df, snap.schema, snap.num_buckets, snap.key_cols, files_per_bucket=1
             )
         else:
             victims = list(snap.files)
-            if len(victims) <= max_files_per_bucket:
+            has_dv = any((m or {}).get("dv") for m in snap.files.values())
+            if len(victims) <= max_files_per_bucket and not has_dv:
                 return CommitResult(version=snap.version, summary={"files_compacted": 0})
-            df = self._read_files(victims, snap.schema).coalesce(1)
+            df = self._read_files(
+                victims, snap.schema, files_meta=snap.files
+            ).coalesce(1)
             adds = self._stage_dataframe(df, snap.schema, None, [])
         return self.commit_rewrite(
             adds=adds,
@@ -599,8 +763,12 @@ class LakeTable:
         latest = self.latest_version()
         live: set[str] = set()
         for v in range(max(1, latest - retain_versions), latest + 1):
+            s = self.snapshot(v)
+            live.update(os.path.join(self.root, p) for p in s.files)
             live.update(
-                os.path.join(self.root, p) for p in self.snapshot(v).files
+                os.path.join(self.root, d)
+                for m in s.files.values()
+                for d in (m or {}).get("dv", [])
             )
         removed = 0
         for dirpath, _, files in os.walk(os.path.join(self.root, DATA_DIR)):
@@ -611,5 +779,36 @@ class LakeTable:
                     removed += 1
         return removed
 
+    def vacuum_metadata(self, retain_versions: int = 0) -> int:
+        """Prune log entries and checkpoints older than the retained
+        horizon. Without this a long CDC tail accumulates one log entry per
+        epoch and one checkpoint per CHECKPOINT_EVERY forever — after 10^4
+        epochs every ``snapshot()`` directory listing pays for it.
+
+        Keeps: the newest checkpoint at or below ``latest - retain_versions``
+        (the replay base) and every log entry from that base forward. Every
+        retained snapshot stays reconstructible; versions older than the
+        base expire (Iceberg expire-snapshots semantics — same horizon
+        ``vacuum(retain_versions)`` applies to data files). Returns the
+        number of metadata files removed."""
+        latest = self.latest_version()
+        horizon = max(1, latest - retain_versions)
+        base = max(
+            (v for v in self._available_checkpoints() if v <= horizon),
+            default=None,
+        )
+        if base is None:
+            return 0  # no checkpoint to replay from yet — keep everything
+        d = os.path.join(self.root, LOG_DIR)
+        removed = 0
+        for e in os.listdir(d):
+            if e.startswith(".") or not e.endswith(".json"):
+                continue
+            v = int(e.split(".")[0])
+            if v < base:
+                os.unlink(os.path.join(d, e))
+                removed += 1
+        return removed
+
     def history(self) -> list[dict]:
-        return self.log_entries()
+        return self.log_entries(self.oldest_version())

@@ -35,7 +35,26 @@ def topk_per_key(
     ≤ k·P survivors with the per-key window. A single-stage window would
     put ALL N scored rows for one key on one task — with ~20 query keys
     that is the whole corpus on 20 tasks, the r1 scale hazard.
+
+    Single-partition bypass: when the scored input is ONE partition, the
+    per-key window is already safe — every row sits on a single task by
+    construction, so the local pre-top-k (collect_list/array_sort CPU plus
+    an extra exchange) is pure overhead and is skipped. The two-stage shape
+    is preserved for any multi-partition input (plan-asserted).
     """
+    try:
+        nparts = scored.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — conversion quirks never break topk
+        nparts = None
+    if nparts == 1:
+        w1 = Window.partitionBy(key_col).orderBy(
+            F.col(order_col).desc(), F.col(tiebreak_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w1))
+            .where(F.col("rank") <= k)
+            .select(key_col, tiebreak_col, order_col, "rank")
+        )
     top_struct = F.struct(
         (-F.col(order_col)).alias("_neg"), F.col(tiebreak_col).alias("_tb")
     )

@@ -350,3 +350,73 @@ def test_nested_schema_evolution(spark, tmp_path):
     assert state[1].meta.stars == 5 and state[1].meta.license is None
     assert state[2].meta.license == "mit" and state[2].meta.stars == 8
     assert state[3].tags == [5]
+
+
+def test_all_delete_epoch_uses_deletion_vectors(spark, tmp_path):
+    """A 100%-delete epoch takes the merge-on-read fast path: the commit is
+    deletion vectors + manifest only — zero data files added or removed —
+    and replay state/metrics/watermark stay exact."""
+    ev = change_events(spark, 300, n_repos=4, paths_per_repo=5, seed=3,
+                       op_mix=(1.0, 0.0, 0.0))
+    engine = CdcEngine(spark, str(tmp_path / "t"), num_buckets=4)
+    engine.replay(ev, epoch_size=10**9)
+    t = engine.table()
+    live = [(r.repo, r.path) for r in engine.read_state().select("repo", "path").collect()]
+    files_before = set(t.snapshot().files)
+    ev_cols = ev.columns
+    from datetime import datetime
+
+    kill = live[: len(live) // 2]
+    del_rows = [
+        {c: None for c in ev_cols}
+        | {"lsn": 301 + i, "op": "delete", "repo": repo, "path": path,
+           "ts": datetime(2026, 1, 1)}
+        for i, (repo, path) in enumerate(kill)
+    ]
+    dels = spark.createDataFrame(
+        [tuple(r[c] for c in ev_cols) for r in del_rows], ev.schema
+    )
+    res = engine.apply_epoch(ev.unionByName(dels), 300, 300 + len(kill))
+    assert res.rows_deleted == len(kill)
+    snap = t.snapshot()
+    assert set(snap.files) == files_before          # no rewrite at all
+    assert any(m.get("dv") for m in snap.files.values())
+    assert engine.read_state().count() == len(live) - len(kill)
+    assert engine.last_lsn() == 300 + len(kill)
+    # changelog sees the deletes; compact absorbs the DVs invisibly
+    v = snap.version
+    ch = t.read_changelog(v - 1, v)
+    assert ch.where(F.col("_change_type") == "delete").count() == len(kill)
+    t.compact()
+    assert not any(m.get("dv") for m in t.snapshot().files.values())
+    assert engine.read_state().count() == len(live) - len(kill)
+
+
+def test_all_delete_epoch_cow_fallback_matches(spark, tmp_path):
+    """mor_all_delete_epochs=False keeps the old copy-on-write behavior and
+    converges to the same state."""
+    ev = change_events(spark, 300, n_repos=4, paths_per_repo=5, seed=3,
+                       op_mix=(1.0, 0.0, 0.0))
+    a = CdcEngine(spark, str(tmp_path / "mor"), num_buckets=4)
+    b = CdcEngine(spark, str(tmp_path / "cow"), num_buckets=4,
+                  mor_all_delete_epochs=False)
+    for eng in (a, b):
+        eng.replay(ev, epoch_size=10**9)
+    live = [(r.repo, r.path) for r in a.read_state().select("repo", "path").collect()]
+    ev_cols = ev.columns
+    from datetime import datetime
+
+    del_rows = [
+        {c: None for c in ev_cols}
+        | {"lsn": 301 + i, "op": "delete", "repo": repo, "path": path,
+           "ts": datetime(2026, 1, 1)}
+        for i, (repo, path) in enumerate(live)
+    ]
+    dels = spark.createDataFrame(
+        [tuple(r[c] for c in ev_cols) for r in del_rows], ev.schema
+    )
+    full = ev.unionByName(dels)
+    ra = a.apply_epoch(full, 300, 300 + len(live))
+    rb = b.apply_epoch(full, 300, 300 + len(live))
+    assert ra.rows_deleted == rb.rows_deleted == len(live)
+    assert a.read_state().count() == b.read_state().count() == 0

@@ -258,3 +258,41 @@ def test_compact_consolidates_files_invisible_to_changelog(spark, tmp_table_root
     assert t.read().count() == 12
     # idempotent compact: second call is a no-op commit-free result
     assert t.compact().summary["files_compacted"] == 0
+
+
+def test_vacuum_metadata_bounds_log_listing(spark, tmp_table_root):
+    """A long CDC tail accumulates log entries + checkpoints forever;
+    vacuum_metadata prunes everything older than the newest checkpoint at
+    or below the retained horizon, keeping every retained snapshot
+    reconstructible."""
+    import os
+
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2)
+    t.append(_df(spark, [("a", "1", "x"), ("b", "2", "y")]))
+    for i in range(200):  # metadata-only commits, like empty epochs
+        t.commit_rewrite([], [], "cdc-epoch", properties={"cdc.last_lsn": str(i)})
+    log_dir = os.path.join(tmp_table_root, "_log")
+    assert len(os.listdir(log_dir)) > 200
+    removed = t.vacuum_metadata(retain_versions=0)
+    assert removed > 150
+    left = [e for e in os.listdir(log_dir) if not e.startswith(".")]
+    assert len(left) <= 2 * 16 + 2  # ≤ one checkpoint interval of logs + cps
+    # table still fully functional: snapshot, read, properties, new commits
+    snap = t.snapshot()
+    assert snap.properties["cdc.last_lsn"] == "199"
+    assert t.read().count() == 2
+    assert len(t.history()) == len([e for e in left if ".checkpoint." not in e])
+    t.append(_df(spark, [("c", "3", "z")]))
+    assert t.read().count() == 3
+    # expired versions raise instead of silently mis-replaying
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.snapshot(2)
+
+
+def test_vacuum_metadata_noop_before_first_checkpoint(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2)
+    t.append(_df(spark, [("a", "1", "x")]))
+    assert t.vacuum_metadata() == 0  # nothing to replay from — keep all
+    assert t.read().count() == 1

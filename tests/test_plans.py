@@ -80,7 +80,10 @@ def test_cosine_topk_is_two_stage(spark, sf_dir):
     )
     from techtalk_data_pipeline_snowpark_spark.plans.inspect import simple_plan
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # repartition: the two-stage shape is required exactly when the scored
+    # input spans multiple partitions (single-partition inputs take the
+    # window-only bypass — asserted separately below)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(8)
     q = emb.where(F.col("vec_id") < 5)
     out = cosine_topk_brute(emb, q, k=3)
     plan = simple_plan(out)
@@ -111,6 +114,28 @@ def test_cosine_topk_is_two_stage(spark, sf_dir):
         for r in ref_scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3).collect()
     }
+    assert got == ref
+
+
+def test_cosine_topk_single_partition_bypass(spark, sf_dir):
+    """A single-partition scored input skips the local pre-top-k stage
+    (window-only plan — safe because all rows already sit on one task) and
+    produces identical results to the two-stage path."""
+    from techtalk_data_pipeline_snowpark_spark.operators.similarity import (
+        cosine_topk_brute,
+    )
+    from techtalk_data_pipeline_snowpark_spark.plans.inspect import simple_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")  # 1 file → 1 part
+    assert emb.rdd.getNumPartitions() == 1
+    q = emb.where(F.col("vec_id") < 5)
+    out = cosine_topk_brute(emb, q, k=3)
+    plan = simple_plan(out)
+    assert "Window" in plan
+    assert "Generate explode" not in plan, plan  # no stage-1 list machinery
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    two_stage = cosine_topk_brute(emb.repartition(8), q, k=3)
+    ref = {(r.query_id, r.rank): r.neighbor_id for r in two_stage.collect()}
     assert got == ref
 
 
