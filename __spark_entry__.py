@@ -48,6 +48,7 @@ from techtalk_data_pipeline_snowpark_spark.lake import LakeTable, merge_into
 from techtalk_data_pipeline_snowpark_spark.lake.merge import delete as lake_delete
 from techtalk_data_pipeline_snowpark_spark.lake.merge import update as lake_update
 from techtalk_data_pipeline_snowpark_spark.operators.dedup import (
+    blocked_jaccard_near_dups,
     cosine,
     exact_dedup,
     minhash_near_dups,
@@ -982,6 +983,39 @@ FROM sessioned GROUP BY user_id, session_idx
 """
 
 
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dups over deterministic token-prefix
+    blocks — the oracle-checked member of the dedup family (minhash/simhash
+    entries are xxhash64-based and rows-only). Blocking, the block-size
+    cap, 3-word shingling, and the Jaccard itself all have exact SQL twins.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return blocked_jaccard_near_dups(docs, "doc_id", "text", threshold=0.4)
+
+
+_NGRAM_JACCARD_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         array_to_string(toks[1:2], ' ') AS blk,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS sh
+  FROM t
+), capped AS (
+  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY blk) AS _bs FROM s)
+  WHERE _bs <= 64
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM capped a JOIN capped b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+"""
+
+
 # ------------------------------------- non-SQL-expressible (rows-only)
 
 def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_events": session_window_events,
         "cosine_topk": cosine_topk,
         "embedding_near_dups_docs": embedding_near_dups_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
         "minhash_near_dup_docs": minhash_near_dup_docs,
         "simhash_docs": simhash_docs,
         "cosine_topk_ann": cosine_topk_ann,
@@ -1079,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_events": _SESSION_WINDOW_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "embedding_near_dups_docs": _NEAR_DUPS_ORACLE,
+        "ngram_jaccard_docs": _NGRAM_JACCARD_ORACLE,
         # minhash_near_dup_docs / simhash_docs / cosine_topk_ann: xxhash64-
         # bucketed approximations — not SQL-expressible; rows-only check.
     }

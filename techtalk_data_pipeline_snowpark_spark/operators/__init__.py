@@ -14,6 +14,7 @@ from .dedup import (
     exact_dedup,
     exact_dedup_apply,
     minhash_lsh_candidates,
+    blocked_jaccard_near_dups,
     minhash_near_dups,
     minhash_signature,
     ngram_jaccard,

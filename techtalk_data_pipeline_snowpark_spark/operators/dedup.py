@@ -282,6 +282,54 @@ def ngram_jaccard(
     )
 
 
+def blocked_jaccard_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    shingle_k: int = 3,
+    block_tokens: int = 2,
+    max_block_size: int = 64,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dups over deterministic token-prefix blocks.
+
+    The candidate generator here is a *blocking key* (first ``block_tokens``
+    tokens of the lowered text) rather than LSH: fully deterministic and
+    SQL-expressible, so the whole pipeline — blocking, capping, shingling,
+    Jaccard — has an exact DuckDB oracle. Blocks larger than
+    ``max_block_size`` are excluded in BOTH engines (skew guard expressed
+    as a plain size predicate, so the cap itself is oracle-checked).
+
+    Production candidate generation at scale is ``minhash_lsh_candidates``
+    (recall under paraphrase); this operator is the exact-verification
+    counterpart the brief lists as "n-gram Jaccard" dedup, and it shares
+    the same ``ngram_jaccard`` verifier. The self-join keys on the block —
+    one shuffle, bounded O(cap²) work per block.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    blocked = df.select(
+        F.col(id_col).alias("_id"),
+        F.concat_ws(" ", F.slice(toks, 1, block_tokens)).alias("_blk"),
+    )
+    sizes = blocked.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bs"))
+    capped = blocked.join(
+        sizes.where(F.col("_bs") <= max_block_size).drop("_bs"), "_blk"
+    )
+    pairs = (
+        capped.alias("x")
+        .join(
+            capped.alias("y"),
+            (F.col("x._blk") == F.col("y._blk"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+    )
+    verified = ngram_jaccard(df, pairs, id_col, text_col, shingle_k)
+    return verified.where(F.col("jaccard") >= threshold).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str,

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from techtalk_data_pipeline_snowpark_spark.operators import (
+    blocked_jaccard_near_dups,
     cosine_topk_brute,
     cosine_topk_ivf,
     embedding_near_dups,
@@ -68,6 +69,31 @@ def test_ngram_jaccard_exact_value(spark):
     j = ngram_jaccard(df, pairs, "doc_id", "text", shingle_k=2).first().jaccard
     # shingles: {ab,bc,cd} vs {bc,cd,de} → 2/4
     assert abs(j - 0.5) < 1e-9
+
+
+def test_blocked_jaccard_planted_pair_and_cap(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    near = base.replace("delta", "kappa", 1)
+    # different first-2-token block → never a candidate, however similar
+    other_block = "omega psi " + base
+    # a mega-block: 10 docs sharing a first-2-token prefix, cap=4 excludes it
+    mega = [(100 + i, f"mu nu filler{i} " + base) for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other_block)] + mega, ["doc_id", "text"]
+    )
+    got = blocked_jaccard_near_dups(
+        df, "doc_id", "text", threshold=0.4, max_block_size=4
+    )
+    pairs = {(r.a, r.b) for r in got.collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)  # blocking is the candidate gate
+    assert not any(a >= 100 or b >= 100 for a, b in pairs)  # cap excluded
+    # cap lifted → the mega block's near-identical docs all pair up
+    uncapped = blocked_jaccard_near_dups(
+        df, "doc_id", "text", threshold=0.4, max_block_size=64
+    )
+    mega_pairs = [r for r in uncapped.collect() if r.a >= 100]
+    assert len(mega_pairs) == 45  # C(10,2)
 
 
 def test_simhash_near_duplicates_share_blocks(spark):
