@@ -296,3 +296,81 @@ def test_vacuum_metadata_noop_before_first_checkpoint(spark, tmp_table_root):
     t.append(_df(spark, [("a", "1", "x")]))
     assert t.vacuum_metadata() == 0  # nothing to replay from — keep all
     assert t.read().count() == 1
+
+
+def test_concurrent_merge_vs_delete_serializable(spark, tmp_table_root):
+    """Two DIFFERENT writers (a MERGE and a DELETE) race on one table.
+
+    Optimistic version pinning must serialize them: exactly one wins each
+    commit slot, the loser retries against the fresh snapshot, and the
+    final table equals applying the two operations sequentially in the
+    observed commit order. (The CDC replayer race is covered in
+    test_cdc_engine; this is the generic heterogeneous-writer contract.)
+    """
+    import threading
+
+    from techtalk_data_pipeline_snowpark_spark.lake import merge_into
+    from techtalk_data_pipeline_snowpark_spark.lake.merge import delete as lake_delete
+
+    seed = [(f"r{i}", "f.py", "v0") for i in range(40)]
+
+    def make_table(root):
+        t = LakeTable.create(spark, root, SCHEMA, key_cols=["repo", "path"], num_buckets=4)
+        t.append(_df(spark, seed))
+        return t
+
+    def do_merge(t):
+        # update r0..r9, insert n0..n9
+        src = _df(spark, [(f"r{i}", "f.py", "merged") for i in range(10)]
+                  + [(f"n{i}", "f.py", "new") for i in range(10)])
+        return merge_into(t, src, on=["repo", "path"], properties={"writer": "merge"})
+
+    def do_delete(t):
+        # overlaps the merge's update set (r5..r14) → order-dependent result
+        return lake_delete(
+            t, F.col("repo").isin([f"r{i}" for i in range(5, 15)]),
+            properties={"writer": "delete"},
+        )
+
+    t_live = make_table(tmp_table_root + "/live")
+    errors, retries = [], {"merge": 0, "delete": 0}
+
+    def run(name, op):
+        for _ in range(5):
+            try:
+                op(t_live)
+                return
+            except ConcurrentCommitError:
+                retries[name] += 1
+        errors.append(name)
+
+    threads = [
+        threading.Thread(target=run, args=("merge", do_merge)),
+        threading.Thread(target=run, args=("delete", do_delete)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, f"writer never committed: {errors}"
+
+    # observed serialization order from the log
+    order = [e["properties"]["writer"] for e in t_live.history()
+             if e.get("properties", {}).get("writer")]
+    assert sorted(order) == ["delete", "merge"]  # both committed exactly once
+
+    # replay the same two ops serially in that order on a fresh table
+    t_ref = make_table(tmp_table_root + "/ref")
+    for w in order:
+        (do_merge if w == "merge" else do_delete)(t_ref)
+
+    live = {(r.repo, r.path, r.content) for r in t_live.read().collect()}
+    ref = {(r.repo, r.path, r.content) for r in t_ref.read().collect()}
+    assert live == ref
+    # sanity: the two orders genuinely differ on the overlap (r5..r9), so
+    # the equality above is a real serializability check, not a tautology
+    merged_overlap = {c for (r, _, c) in live if r in {f"r{i}" for i in range(5, 10)}}
+    if order == ["merge", "delete"]:
+        assert merged_overlap == set()
+    else:
+        assert merged_overlap == {"merged"}
