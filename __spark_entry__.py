@@ -419,6 +419,46 @@ SELECT p_partkey, p_size, p_retailprice FROM u WHERE p_retailprice <= 1500
 """
 
 
+def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel / snapshot isolation: after an UPDATE and a DELETE, an
+    as-of read at the pre-mutation version still returns the original rows
+    byte-for-byte, while the current read sees the mutations. Both reads
+    come from ONE table — old versions stay reconstructable from the log
+    (checkpoint + adds/removes), the Iceberg/Snowflake AT(TIMESTAMP)
+    semantics (reference queries run against Snowflake, which gives this
+    for free; here the lake log provides it)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="timetravel_")
+    tbl = LakeTable.create(spark, os.path.join(root, "orders"), orders.schema)
+    tbl.append(orders)
+    v1 = tbl.latest_version()
+    lake_update(
+        tbl,
+        {"o_totalprice": F.col("o_totalprice") * 2},
+        F.col("o_orderstatus") == "F",
+    )
+    lake_delete(tbl, F.col("o_totalprice") > 300000)
+    asof = tbl.read(version=v1).withColumn("snapshot", F.lit("v1"))
+    cur = tbl.read().withColumn("snapshot", F.lit("current"))
+    return asof.unionByName(cur).select(
+        "snapshot", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+_TIME_TRAVEL_ORACLE = """
+SELECT 'v1' AS snapshot, o_orderkey, o_orderstatus, o_totalprice FROM orders
+UNION ALL
+SELECT 'current' AS snapshot, o_orderkey, o_orderstatus, o_totalprice FROM (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+) WHERE o_totalprice <= 300000
+"""
+
+
 def merge_expression_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expression-ON MERGE parity (SampleCrud.scala:38-65: merge on
     substring(code, 0, 4) of BOTH sides; SnowflakeUtilsOld.scala:84-109
@@ -1064,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_flatten_props": json_flatten_props,
         "crud_update_delete": crud_update_delete,
         "merge_expression_key": merge_expression_key,
+        "time_travel_orders": time_travel_orders,
         "ingest_orders_roundtrip": ingest_orders_roundtrip,
         "read_changelog_orders": read_changelog_orders,
         "stream_ingest_orders": stream_ingest_orders,
@@ -1100,6 +1141,7 @@ def oracle_sql() -> dict[str, str]:
         "json_flatten_props": _PROPS_EXTRACT_ORACLE,
         "crud_update_delete": _CRUD_ORACLE,
         "merge_expression_key": _MERGE_EXPR_ORACLE,
+        "time_travel_orders": _TIME_TRAVEL_ORACLE,
         "ingest_orders_roundtrip": _INGEST_ORACLE,
         "read_changelog_orders": _CHANGELOG_ORACLE,
         "stream_ingest_orders": _STREAM_INGEST_ORACLE,
