@@ -542,8 +542,18 @@ class LakeTable:
         num_buckets: int | None,
         key_cols: list[str],
         files_per_bucket: int | None = None,
+        sort_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> list[dict]:
-        """Write df into data/ and return add-entries (not yet committed)."""
+        """Write df into data/ and return add-entries (not yet committed).
+
+        ``sort_by`` clusters the rows inside each bucket (one sorted task
+        per bucket; Spark's external sort spills, so a big bucket is fine)
+        and lets ``max_records_per_file`` split the sorted run into
+        range-DISJOINT files — the Delta ``OPTIMIZE ... ZORDER BY``
+        one-dimensional shape. Disjoint ranges are what make the per-file
+        zone maps (lake/stats.py) bite on non-key predicates: a selective
+        scan then opens ~1 file per bucket instead of all of them."""
         staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
         adds: list[dict] = []
         # INT96 (Spark's legacy default) carries no parquet column stats, so
@@ -574,7 +584,21 @@ class LakeTable:
                     slots,
                 )
                 files_per_bucket = max(1, min(par // num_buckets, 8))
-            if files_per_bucket > 1:
+            if sort_by:
+                # one shuffle keyed by bucket, in-task sort on the cluster
+                # columns; maxRecordsPerFile slices the SORTED run, so the
+                # resulting files carry disjoint sort-key ranges
+                writer = (
+                    out.repartition(num_buckets, "_b")
+                    .sortWithinPartitions("_b", *sort_by)
+                    .write
+                )
+                if max_records_per_file:
+                    writer = writer.option(
+                        "maxRecordsPerFile", int(max_records_per_file)
+                    )
+                writer.partitionBy("_b").mode("overwrite").parquet(staging)
+            elif files_per_bucket > 1:
                 salt = F.pmod(
                     F.xxhash64(*[F.col(c) for c in key_cols]),
                     F.lit(files_per_bucket),
@@ -601,7 +625,17 @@ class LakeTable:
                     )
                     adds.append({"path": rel, "bucket": b})
         else:
-            df.select(*ordered).write.mode("overwrite").parquet(staging)
+            flat = df.select(*ordered)
+            if sort_by:
+                # range shuffle to an explicit file target, in-task sort:
+                # output files are range-disjoint on the cluster columns
+                flat = flat.repartitionByRange(
+                    max(1, files_per_bucket or 1), *sort_by
+                ).sortWithinPartitions(*sort_by)
+            writer = flat.write
+            if max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+            writer.mode("overwrite").parquet(staging)
             for fn in os.listdir(staging):
                 if fn.endswith(".parquet"):
                     rel = f"{DATA_DIR}/{uuid.uuid4().hex}.parquet"
@@ -706,15 +740,29 @@ class LakeTable:
         return self._commit(entry, expected_version=expected_version)
 
     # ------------------------------------------------------------- utility
-    def compact(self, max_files_per_bucket: int = 1) -> CommitResult:
+    def compact(
+        self,
+        max_files_per_bucket: int = 1,
+        sort_by: list[str] | None = None,
+    ) -> CommitResult:
         """OPTIMIZE: rewrite buckets whose file count exceeds the target
         into consolidated files (1 file per compacted bucket). The row set
         is unchanged — read_changelog emits NOTHING for a compact commit
         (the snapshot diff cancels exactly), so stream consumers are
         unaffected. A long CDC tail runs this periodically; at 100 TB it
         is the same touched-bucket-scoped rewrite a merge does, minus the
-        join."""
+        join.
+
+        ``sort_by`` turns this into ``OPTIMIZE ... ZORDER BY``'s
+        one-dimensional cousin: EVERY file is rewritten with rows clustered
+        on the given columns, sliced into up to ``max_files_per_bucket``
+        range-disjoint files per bucket — so the zone maps (lake/stats.py)
+        prune non-key predicates down to ~1 file per bucket. Run it off the
+        ingest path when the read workload filters on a non-key column
+        (e.g. a timestamp): without clustering, hash-bucketed writes give
+        every file the full value range and min/max stats never skip."""
         snap = self.snapshot()
+        total_rows = sum((m or {}).get("rows") or 0 for m in snap.files.values())
         if snap.num_buckets:
             by_bucket: dict[int, list[str]] = {}
             for p, m in snap.files.items():
@@ -723,33 +771,62 @@ class LakeTable:
             # files carries deletion vectors — compact absorbs DVs (the
             # DV-filtered read materializes live rows only; the refs die
             # with the removed files)
-            victims = [
-                p
-                for b, paths in by_bucket.items()
-                if len(paths) > max_files_per_bucket
-                or any(snap.files[p].get("dv") for p in paths)
-                for p in paths
-            ]
+            victims = (
+                list(snap.files)  # clustering rewrites everything
+                if sort_by
+                else [
+                    p
+                    for b, paths in by_bucket.items()
+                    if len(paths) > max_files_per_bucket
+                    or any(snap.files[p].get("dv") for p in paths)
+                    for p in paths
+                ]
+            )
             if not victims:
                 return CommitResult(version=snap.version, summary={"files_compacted": 0})
             df = self._read_files(victims, snap.schema, files_meta=snap.files)
+            mrpf = None
+            if sort_by and max_files_per_bucket > 1 and total_rows:
+                # size the slice off the LARGEST bucket so skewed buckets
+                # still respect the per-bucket file cap
+                rows_by_bucket: dict[int, int] = {}
+                for m in snap.files.values():
+                    b = (m or {}).get("bucket")
+                    rows_by_bucket[b] = rows_by_bucket.get(b, 0) + ((m or {}).get("rows") or 0)
+                mrpf = -(-max(rows_by_bucket.values()) // max_files_per_bucket)
             adds = self._stage_dataframe(
-                df, snap.schema, snap.num_buckets, snap.key_cols, files_per_bucket=1
+                df,
+                snap.schema,
+                snap.num_buckets,
+                snap.key_cols,
+                files_per_bucket=1,
+                sort_by=sort_by,
+                max_records_per_file=mrpf,
             )
         else:
             victims = list(snap.files)
             has_dv = any((m or {}).get("dv") for m in snap.files.values())
-            if len(victims) <= max_files_per_bucket and not has_dv:
+            if not sort_by and len(victims) <= max_files_per_bucket and not has_dv:
                 return CommitResult(version=snap.version, summary={"files_compacted": 0})
-            df = self._read_files(
-                victims, snap.schema, files_meta=snap.files
-            ).coalesce(1)
-            adds = self._stage_dataframe(df, snap.schema, None, [])
+            df = self._read_files(victims, snap.schema, files_meta=snap.files)
+            if not sort_by:
+                df = df.coalesce(1)
+            adds = self._stage_dataframe(
+                df,
+                snap.schema,
+                None,
+                [],
+                files_per_bucket=max_files_per_bucket,
+                sort_by=sort_by,
+            )
+        summary = {"files_compacted": len(victims), "files_written": len(adds)}
+        if sort_by:
+            summary["clustered_by"] = list(sort_by)
         return self.commit_rewrite(
             adds=adds,
             removes=victims,
             operation="compact",
-            summary={"files_compacted": len(victims), "files_written": len(adds)},
+            summary=summary,
             expected_version=snap.version + 1,
         )
 

@@ -374,3 +374,75 @@ def test_concurrent_merge_vs_delete_serializable(spark, tmp_table_root):
         assert merged_overlap == set()
     else:
         assert merged_overlap == {"merged"}
+
+
+def test_clustered_compact_prunes_nonkey_predicates(spark, tmp_table_root):
+    """compact(sort_by=...) clusters rows on a NON-key column and slices
+    each bucket into range-disjoint files, so the zone maps start pruning
+    predicates the hash-bucketed layout could never skip on. Before: every
+    file spans the full value range → zero skipping power. After: a narrow
+    range predicate survives in ≤1 file per bucket."""
+    from techtalk_data_pipeline_snowpark_spark.lake.stats import prune_files
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, tmp_table_root, schema, key_cols=["repo", "path"], num_buckets=2
+    )
+    # four appends, EACH spanning the full v range: hash-bucketed files all
+    # carry min≈0/max≈199, so min/max stats cannot skip anything
+    for i in range(4):
+        t.append(
+            spark.range(200).select(
+                F.concat(F.lit(f"r{i}_"), F.col("id")).alias("repo"),
+                F.lit("p").alias("path"),
+                F.col("id").alias("v"),
+            )
+        )
+    cond = (F.col("v") >= 10) & (F.col("v") < 20)
+    snap = t.snapshot()
+    # pre-clustering the layout has (almost) no skipping power: the salt
+    # split can shave a few lucky small files, but most must be scanned
+    assert len(prune_files(snap.files, cond)) >= len(snap.files) - 4
+    assert len(snap.files) >= 8
+
+    res = t.compact(max_files_per_bucket=4, sort_by=["v"])
+    assert res.summary["clustered_by"] == ["v"]
+    snap2 = t.snapshot()
+    # layout: still bucketed (≤4 files per bucket), rows unchanged
+    per_bucket: dict[int, int] = {}
+    for m in snap2.files.values():
+        per_bucket[m["bucket"]] = per_bucket.get(m["bucket"], 0) + 1
+    assert set(per_bucket) == {0, 1}
+    assert all(n <= 4 for n in per_bucket.values())
+    assert t.read().count() == 800
+
+    # pruning now bites: the narrow range overlaps ≤1 file per bucket
+    candidates = prune_files(snap2.files, cond)
+    assert len(candidates) <= 2, candidates
+    # and the pruned read is still exactly right
+    got = sorted(r.v for r in t.read_where(cond).collect())
+    assert got == sorted([v for v in range(10, 20)] * 4)
+
+
+def test_clustered_compact_unbucketed(spark, tmp_table_root):
+    """Unbucketed tables cluster too: a global range shuffle to the file
+    target gives range-disjoint files; reads stay exact."""
+    from techtalk_data_pipeline_snowpark_spark.lake.stats import prune_files
+
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    t = LakeTable.create(spark, tmp_table_root, schema)
+    for _ in range(3):
+        t.append(spark.range(300).select(F.col("id").alias("v")))
+    t.compact(max_files_per_bucket=3, sort_by=["v"])
+    snap = t.snapshot()
+    assert len(snap.files) <= 3
+    cond = F.col("v") == 7
+    assert len(prune_files(snap.files, cond)) == 1
+    assert t.read_where(cond).count() == 3
+    assert t.read().count() == 900
