@@ -459,6 +459,48 @@ SELECT 'current' AS snapshot, o_orderkey, o_orderstatus, o_totalprice FROM (
 """
 
 
+def dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes + clustered compaction under the exact-oracle
+    gate. DELETE in mode='mor' commits DELETION VECTORS only — positional
+    (file, row) tombstones, no surviving row rewritten (Iceberg v2
+    positional-delete shape; the reference gets an equivalent from
+    Snowflake server-side DML, SampleCrud.scala:71-75). Phase 'mor' reads
+    THROUGH the DV anti-join; compact(sort_by=...) then absorbs the DVs
+    while clustering rows on a non-key column into range-disjoint files
+    (zone-map food); phase 'compacted' reads the clean layout. Both phases
+    must equal plain SQL DELETE semantics byte-for-byte."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="dv_")
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "orders"),
+        orders.schema,
+        key_cols=["o_orderkey"],
+        num_buckets=4,
+    )
+    tbl.append(orders)
+    lake_delete(tbl, F.col("o_orderstatus") == "O", mode="mor")
+    mor = tbl.read().withColumn("phase", F.lit("mor"))
+    tbl.compact(max_files_per_bucket=2, sort_by=["o_totalprice"])
+    compacted = tbl.read().withColumn("phase", F.lit("compacted"))
+    return mor.unionByName(compacted).select(
+        "phase", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+_DV_DELETE_ORACLE = """
+WITH kept AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE NOT COALESCE(o_orderstatus = 'O', FALSE)
+)
+SELECT 'mor' AS phase, o_orderkey, o_orderstatus, o_totalprice FROM kept
+UNION ALL
+SELECT 'compacted' AS phase, o_orderkey, o_orderstatus, o_totalprice FROM kept
+"""
+
+
 def merge_expression_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expression-ON MERGE parity (SampleCrud.scala:38-65: merge on
     substring(code, 0, 4) of BOTH sides; SnowflakeUtilsOld.scala:84-109
@@ -1105,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crud_update_delete": crud_update_delete,
         "merge_expression_key": merge_expression_key,
         "time_travel_orders": time_travel_orders,
+        "dv_delete_orders": dv_delete_orders,
         "ingest_orders_roundtrip": ingest_orders_roundtrip,
         "read_changelog_orders": read_changelog_orders,
         "stream_ingest_orders": stream_ingest_orders,
@@ -1142,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "crud_update_delete": _CRUD_ORACLE,
         "merge_expression_key": _MERGE_EXPR_ORACLE,
         "time_travel_orders": _TIME_TRAVEL_ORACLE,
+        "dv_delete_orders": _DV_DELETE_ORACLE,
         "ingest_orders_roundtrip": _INGEST_ORACLE,
         "read_changelog_orders": _CHANGELOG_ORACLE,
         "stream_ingest_orders": _STREAM_INGEST_ORACLE,
