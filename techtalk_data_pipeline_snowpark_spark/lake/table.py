@@ -394,7 +394,7 @@ class LakeTable:
         for e in self.log_entries(start_version + 1, end_version):
             if e.get("operation") in ("append", "create"):
                 added.extend(a["path"] for a in e.get("add", []))
-            elif e.get("operation") == "compact":
+            elif e.get("operation") in ("compact", "rebucket"):
                 continue  # row-set-invariant by construction — no changes
             elif on_rewrite == "diff":
                 rewrite_versions.append(e["version"])
@@ -487,10 +487,10 @@ class LakeTable:
                 ).select(*[F.col(f.name) for f in schema.fields])
                 pieces.append(_tag(deleted, "delete", v))
                 continue
-            if op == "compact" or (not adds and not removes):
-                # compact is row-set-invariant (its diff is empty by
-                # construction — don't pay the exceptAll to prove it);
-                # evolve-schema / empty epochs are metadata-only
+            if op in ("compact", "rebucket") or (not adds and not removes):
+                # compact/rebucket are row-set-invariant (their diff is
+                # empty by construction — don't pay the exceptAll to prove
+                # it); evolve-schema / empty epochs are metadata-only
                 continue
             new_rows = self._read_files(adds, schema)
             # pre-image must reflect DVs that existed BEFORE this commit —
@@ -725,6 +725,7 @@ class LakeTable:
         summary: dict | None = None,
         expected_version: int | None = None,
         dv: dict[str, list[str]] | None = None,
+        num_buckets: int | None = None,
     ) -> CommitResult:
         entry = {
             "operation": operation,
@@ -737,6 +738,8 @@ class LakeTable:
             entry["dv"] = dv
         if schema is not None:
             entry["schema"] = schema.json()
+        if num_buckets is not None:
+            entry["num_buckets"] = num_buckets
         return self._commit(entry, expected_version=expected_version)
 
     # ------------------------------------------------------------- utility
@@ -828,6 +831,46 @@ class LakeTable:
             operation="compact",
             summary=summary,
             expected_version=snap.version + 1,
+        )
+
+    def rebucket(self, num_buckets: int) -> CommitResult:
+        """Bucket-count evolution (Iceberg partition-spec evolution, scoped
+        to the bucket transform). A table sized for today's volume runs out
+        of parallelism at 100× the data — MERGE touched-bucket pruning and
+        the staging write fan-out are both bounded by the bucket count, so
+        a growing table must be able to widen it WITHOUT unloading.
+
+        One atomic rewrite commit: every data file is re-staged under the
+        new bucket function and the commit entry carries the new
+        ``num_buckets`` (snapshot replay tracks bucket config per version,
+        so time-travel reads at older versions keep the OLD layout and
+        every merge after this commit prunes against the new one). The row
+        set is unchanged — like ``compact``, the changelog and incremental
+        readers see NOTHING. Racing writers pinned to the old version lose
+        the optimistic check and retry against the new layout."""
+        snap = self.snapshot()
+        if not snap.key_cols:
+            raise ValueError("rebucket requires a table with key columns")
+        if num_buckets is None or num_buckets < 1:
+            raise ValueError("num_buckets must be a positive int")
+        if num_buckets == snap.num_buckets:
+            return CommitResult(
+                version=snap.version, summary={"rebucketed": False}
+            )
+        df = self._read_files(list(snap.files), snap.schema, files_meta=snap.files)
+        adds = self._stage_dataframe(df, snap.schema, num_buckets, snap.key_cols)
+        return self.commit_rewrite(
+            adds=adds,
+            removes=list(snap.files),
+            operation="rebucket",
+            summary={
+                "rebucketed": True,
+                "num_buckets_before": snap.num_buckets,
+                "num_buckets": num_buckets,
+                "files_rewritten": len(snap.files),
+            },
+            expected_version=snap.version + 1,
+            num_buckets=num_buckets,
         )
 
     def vacuum(self, retain_versions: int = 0) -> int:

@@ -446,3 +446,54 @@ def test_clustered_compact_unbucketed(spark, tmp_table_root):
     assert len(prune_files(snap.files, cond)) == 1
     assert t.read_where(cond).count() == 3
     assert t.read().count() == 900
+
+
+def test_rebucket_evolves_bucket_count(spark, tmp_table_root):
+    """Partition-spec evolution: a table sized at 2 buckets widens to 8 in
+    one atomic rewrite commit. Rows unchanged; changelog/incremental see
+    nothing; time travel before the rebucket keeps the OLD layout; merges
+    after it prune against the new count."""
+    from techtalk_data_pipeline_snowpark_spark.lake import merge_into
+
+    t = LakeTable.create(
+        spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    t.append(_df(spark, [(f"r{i}", f"p{i}", f"c{i}") for i in range(40)]))
+    v_before = t.latest_version()
+    assert t.snapshot().num_buckets == 2
+
+    res = t.rebucket(8)
+    assert res.summary["rebucketed"] is True
+    snap = t.snapshot()
+    assert snap.num_buckets == 8
+    assert {m["bucket"] for m in snap.files.values()} <= set(range(8))
+    assert len({m["bucket"] for m in snap.files.values()}) > 2
+    assert t.read().count() == 40
+
+    # row-invariant: invisible to changelog and incremental consumers
+    assert t.read_changelog(v_before).count() == 0
+    assert t.read_incremental(v_before).count() == 0
+
+    # time travel BEFORE the rebucket resolves with the old layout
+    old = t.snapshot(v_before)
+    assert old.num_buckets == 2
+    assert t.read(version=v_before).count() == 40
+
+    # a merge after the rebucket prunes against the NEW count and lands
+    src = _df(spark, [("r1", "p1", "UPDATED"), ("zz", "zz", "NEW")])
+    merge_into(t, src, on=["repo", "path"], when_matched_update="all")
+    got = {(r.repo, r.content) for r in t.read().collect()}
+    assert ("r1", "UPDATED") in got and ("zz", "NEW") in got
+    assert t.read().count() == 41
+
+    # no-op path and guard rails
+    assert t.rebucket(8).summary == {"rebucketed": False}
+    with pytest.raises(ValueError):
+        t.rebucket(0)
+
+
+def test_rebucket_requires_keys(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA)
+    t.append(_df(spark, [("a", "b", "c")]))
+    with pytest.raises(ValueError):
+        t.rebucket(4)
