@@ -115,6 +115,41 @@ SELECT user_id, lsn, event_type, value FROM latest WHERE rn = 1 AND op <> 'delet
 """
 
 
+def stream_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME replay as cdc_replay_events, but driven by the Structured
+    Streaming runtime (streaming/cdc_stream.py stream_replay): the change
+    log lands as LSN-range-ordered parquet files, readStream tails them
+    two files per micro-batch (trigger availableNow drains then stops),
+    and each batch is applied through CdcEngine.apply_epoch — file-source
+    checkpoint for at-least-once delivery, epoch manifest for exactly-once
+    effects. Final state must equal the batch replay's oracle exactly."""
+    from techtalk_data_pipeline_snowpark_spark.streaming.cdc_stream import (
+        stream_replay,
+    )
+
+    log = _events_as_cdc_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="streamrep_")
+    events_dir = os.path.join(root, "ev")
+    # LSN-ordered producer: range partitioning makes file k's LSNs all
+    # precede file k+1's (the WAL contract stream_replay documents)
+    log.repartitionByRange(4, "lsn").sortWithinPartitions("lsn").write.parquet(
+        events_dir
+    )
+    eng = CdcEngine(
+        spark, os.path.join(root, "state"), key_cols=("user_id",), num_buckets=8
+    )
+    q = stream_replay(
+        spark,
+        events_dir,
+        os.path.join(root, "ckpt"),
+        eng,
+        schema=log.schema,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+    return eng.read_state().select("user_id", "lsn", "event_type", "value")
+
+
 def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution under replay (north_rule pillar; SURVEY.md §6 hard
     part c): phase-1 events carry (status, qty:int); phase-2 events ADD a
@@ -1134,6 +1169,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_events": cdc_replay_events,
+        "stream_replay_events": stream_replay_events,
         "cdc_schema_evolution": cdc_schema_evolution,
         "latest_event_per_user": latest_event_per_user,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1172,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_events": _CDC_REPLAY_ORACLE,
+        "stream_replay_events": _CDC_REPLAY_ORACLE,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_ORACLE,
         "latest_event_per_user": _LATEST_EVENT_ORACLE,
         "q1_pricing_summary": _Q1_ORACLE,

@@ -53,11 +53,19 @@ def stream_replay(
     schema: T.StructType = CHANGE_EVENT_SCHEMA,
     available_now: bool = True,
     processing_time: str = "10 seconds",
+    max_files_per_trigger: int | None = None,
 ):
     """Tail ``events_dir`` (parquet files of change events) and merge each
-    micro-batch through the engine. Returns the StreamingQuery."""
+    micro-batch through the engine. Returns the StreamingQuery.
 
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    ``max_files_per_trigger`` bounds each micro-batch's file count (the
+    file source lists in path order for same-mtime files, so an
+    LSN-ordered producer yields LSN-ordered batches)."""
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(events_dir)
 
     def apply_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
