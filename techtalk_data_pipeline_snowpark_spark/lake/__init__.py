@@ -1,4 +1,4 @@
-from .merge import delete, merge_into, update
+from .merge import delete, equality_delete_keys, merge_into, mor_delete_keys, update
 from .table import CommitResult, ConcurrentCommitError, LakeTable, Snapshot, bucket_expr
 from .views import ViewCatalog
 
@@ -10,6 +10,8 @@ __all__ = [
     "Snapshot",
     "bucket_expr",
     "delete",
+    "equality_delete_keys",
     "merge_into",
+    "mor_delete_keys",
     "update",
 ]

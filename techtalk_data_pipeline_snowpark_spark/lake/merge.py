@@ -442,6 +442,71 @@ def mor_delete_keys(
     )
 
 
+def equality_delete_keys(
+    table: LakeTable,
+    source_keys: DataFrame,
+    keys: list[str],
+    snap=None,
+    properties: dict | None = None,
+    touched_buckets: list[int] | None = None,
+) -> CommitResult:
+    """Delete every target row whose key appears in ``source_keys`` as an
+    EQUALITY delete (Iceberg v2 equality-delete shape): the key set itself
+    is committed — NO table scan, NO survivor rewrite, no positions. The
+    read side anti-joins the key file onto the affected files; files added
+    after this commit never carry the ref, so a re-inserted key survives.
+
+    This is the cheapest possible all-delete CDC epoch: O(|keys|) work at
+    commit time regardless of table size (``mor_delete_keys`` still scans
+    the touched buckets to record positions). The trade: ``rows_affected``
+    is unknown without a scan (reported as -1; ``keys_deleted`` carries the
+    key count), and every subsequent read of the affected files pays the
+    anti-join until ``compact()`` absorbs it — run equality deletes on the
+    hot ingest path, compact off it.
+    """
+    import os
+
+    snap = snap if snap is not None else table.snapshot()
+    sk = source_keys.select(*keys).distinct()
+    can_prune = bool(snap.num_buckets) and list(keys) == list(snap.key_cols)
+    if can_prune:
+        buckets = (
+            sorted(touched_buckets)
+            if touched_buckets is not None
+            else _touched_buckets(sk, keys, snap.num_buckets)
+        )
+        files = snap.files_in_buckets(set(buckets))
+    else:
+        files = list(snap.files)
+    edv_rels = table._stage_edv(sk)
+    n_keys = table.spark.read.parquet(
+        *[os.path.join(table.root, r) for r in edv_rels]
+    ).count()
+    summary = {
+        "rows_affected": -1,  # unknown by design: no scan happened
+        "keys_deleted": int(n_keys),
+        "files_affected": len(files),
+        "mode": "equality",
+    }
+    if not files or n_keys == 0:
+        for rel in edv_rels:
+            os.unlink(os.path.join(table.root, rel))
+        return table.commit_rewrite(
+            [], [], "delete", properties=properties,
+            summary={**summary, "files_affected": 0},
+            expected_version=snap.version + 1,
+        )
+    return table.commit_rewrite(
+        adds=[],
+        removes=[],
+        operation="delete",
+        properties=properties,
+        summary=summary,
+        expected_version=snap.version + 1,
+        edv={p: list(edv_rels) for p in files},
+    )
+
+
 def _rewrite_matching_files(
     table: LakeTable,
     condition: Column | None,

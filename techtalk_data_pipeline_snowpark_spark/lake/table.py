@@ -273,6 +273,12 @@ class LakeTable:
             for p, dvs in (e.get("dv") or {}).items():
                 if p in files:
                     files[p].setdefault("dv", []).extend(dvs)
+            # equality deletes: {data_rel_path: [edv_rel_path, ...]} — refs
+            # attach only to files present at commit time, so later adds
+            # (re-inserted keys) are never filtered by an older delete.
+            for p, edvs in (e.get("edv") or {}).items():
+                if p in files:
+                    files[p].setdefault("edv", []).extend(edvs)
             props.update(e.get("properties", {}))
         schema = T.StructType.fromJson(json.loads(schema_json))
         return Snapshot(version, schema, files, key_cols, num_buckets, props)
@@ -293,10 +299,45 @@ class LakeTable:
         deletion vectors referenced by the requested files are applied: rows
         at recorded (file, position) pairs are anti-joined out via the
         parquet ``_metadata.row_index`` column — merge-on-read, the Iceberg
-        v2 positional-delete shape. ``keep_position=True`` additionally
-        exposes ``__fname``/``__pos`` (file basename + row index) so mutation
+        v2 positional-delete shape. EQUALITY deletes (``edv`` refs — key
+        sets committed without any table scan) are applied per ref-group:
+        files sharing the same edv ref set are scanned together and
+        anti-joined on the edv file's own columns; files added after an
+        equality-delete commit never carry its ref, so re-inserted keys
+        survive. ``keep_position=True`` additionally exposes
+        ``__fname``/``__pos`` (file basename + row index) so mutation
         discovery can record positions without ``input_file_name()`` (which
         goes ambiguous once the DV side joins into the plan)."""
+        groups: dict[tuple, list[str]] = {}
+        if files_meta is not None:
+            for p in rel_paths:
+                refs = (files_meta.get(p, {}) or {}).get("edv") or []
+                groups.setdefault(tuple(sorted(set(refs))), []).append(p)
+        if len(groups) > 1 or (groups and next(iter(groups))):
+            # ≥1 non-empty edv ref set: scan each group, anti-join its keys
+            out = None
+            for refs, paths in groups.items():
+                part = self._read_files_plain(
+                    paths, schema, files_meta=files_meta, keep_position=keep_position
+                )
+                if refs:
+                    keys = self.spark.read.parquet(
+                        *[os.path.join(self.root, r) for r in refs]
+                    ).distinct()
+                    part = part.join(keys, on=list(keys.columns), how="left_anti")
+                out = part if out is None else out.unionByName(part)
+            return out
+        return self._read_files_plain(
+            rel_paths, schema, files_meta=files_meta, keep_position=keep_position
+        )
+
+    def _read_files_plain(
+        self,
+        rel_paths: list[str],
+        schema: T.StructType,
+        files_meta: dict[str, dict] | None = None,
+        keep_position: bool = False,
+    ) -> DataFrame:
         if not rel_paths:
             df = self.spark.createDataFrame([], schema)
             if keep_position:
@@ -448,11 +489,11 @@ class LakeTable:
         # DV bookkeeping is only worth per-entry prev-snapshot lookups when
         # deletion vectors can actually exist in the range: either carried
         # in from before start_version or added by an entry in range.
-        dv_possible = any(e.get("dv") for e in entries)
+        dv_possible = any(e.get("dv") or e.get("edv") for e in entries)
         if not dv_possible and start_version >= 1:
             try:
                 dv_possible = any(
-                    (m or {}).get("dv")
+                    (m or {}).get("dv") or (m or {}).get("edv")
                     for m in self.snapshot(start_version).files.values()
                 )
             except Exception:
@@ -484,6 +525,23 @@ class LakeTable:
                     dv,
                     (F.col("__fname") == dv["fname"]) & (F.col("__pos") == dv["pos"]),
                     "left_semi",
+                ).select(*[F.col(f.name) for f in schema.fields])
+                pieces.append(_tag(deleted, "delete", v))
+                continue
+            if e.get("edv"):
+                # equality delete: the commit's key set names the doomed
+                # rows. Read the affected files with the PRE-commit state
+                # applied (already-dead rows can't be re-deleted) and
+                # semi-join the keys. Touched-file-scoped.
+                prev = self.snapshot(v - 1)
+                affected = sorted(e["edv"].keys())
+                edv_new = sorted({d for ds in e["edv"].values() for d in ds})
+                rows = self._read_files(affected, schema, files_meta=prev.files)
+                keys = spark.read.parquet(
+                    *[os.path.join(self.root, r) for r in edv_new]
+                ).distinct()
+                deleted = rows.join(
+                    keys, on=list(keys.columns), how="left_semi"
                 ).select(*[F.col(f.name) for f in schema.fields])
                 pieces.append(_tag(deleted, "delete", v))
                 continue
@@ -683,6 +741,22 @@ class LakeTable:
             return [], {}
         return rels, per_file
 
+    def _stage_edv(self, keys: DataFrame) -> list[str]:
+        """Write an equality-delete key set into ``data/_edv/`` (not yet
+        committed). The parquet's own schema names the anti-join columns —
+        the read side never needs key plumbing. Returns rel paths."""
+        staging = os.path.join(self.root, f".staging-edv-{uuid.uuid4().hex}")
+        keys.distinct().coalesce(1).write.mode("overwrite").parquet(staging)
+        os.makedirs(os.path.join(self.root, DATA_DIR, "_edv"), exist_ok=True)
+        rels: list[str] = []
+        for fn in os.listdir(staging):
+            if fn.endswith(".parquet"):
+                rel = f"{DATA_DIR}/_edv/{uuid.uuid4().hex}.parquet"
+                os.rename(os.path.join(staging, fn), os.path.join(self.root, rel))
+                rels.append(rel)
+        shutil.rmtree(staging, ignore_errors=True)
+        return rels
+
     def append(self, df: DataFrame, properties: dict | None = None) -> CommitResult:
         snap = self.snapshot()
         adds = self._stage_dataframe(df, snap.schema, snap.num_buckets, snap.key_cols)
@@ -725,6 +799,7 @@ class LakeTable:
         summary: dict | None = None,
         expected_version: int | None = None,
         dv: dict[str, list[str]] | None = None,
+        edv: dict[str, list[str]] | None = None,
         num_buckets: int | None = None,
     ) -> CommitResult:
         entry = {
@@ -736,6 +811,8 @@ class LakeTable:
         }
         if dv:
             entry["dv"] = dv
+        if edv:
+            entry["edv"] = edv
         if schema is not None:
             entry["schema"] = schema.json()
         if num_buckets is not None:
@@ -781,7 +858,10 @@ class LakeTable:
                     p
                     for b, paths in by_bucket.items()
                     if len(paths) > max_files_per_bucket
-                    or any(snap.files[p].get("dv") for p in paths)
+                    or any(
+                        snap.files[p].get("dv") or snap.files[p].get("edv")
+                        for p in paths
+                    )
                     for p in paths
                 ]
             )
@@ -808,7 +888,10 @@ class LakeTable:
             )
         else:
             victims = list(snap.files)
-            has_dv = any((m or {}).get("dv") for m in snap.files.values())
+            has_dv = any(
+                (m or {}).get("dv") or (m or {}).get("edv")
+                for m in snap.files.values()
+            )
             if not sort_by and len(victims) <= max_files_per_bucket and not has_dv:
                 return CommitResult(version=snap.version, summary={"files_compacted": 0})
             df = self._read_files(victims, snap.schema, files_meta=snap.files)
@@ -888,7 +971,7 @@ class LakeTable:
             live.update(
                 os.path.join(self.root, d)
                 for m in s.files.values()
-                for d in (m or {}).get("dv", [])
+                for d in ((m or {}).get("dv", []) + (m or {}).get("edv", []))
             )
         removed = 0
         for dirpath, _, files in os.walk(os.path.join(self.root, DATA_DIR)):

@@ -181,3 +181,103 @@ def test_mor_unbucketed_table(spark, tmp_table_root):
     assert sorted(r.k for r in t.read().collect()) == list(range(6))
     t.compact()
     assert sorted(r.k for r in t.read().collect()) == list(range(6))
+
+
+# --------------------------------------------------------- equality deletes
+
+
+def test_equality_delete_is_scan_free_metadata(spark, tmp_table_root):
+    """equality_delete_keys commits the KEY SET — no data file added or
+    removed, no positions computed; readers anti-join it out."""
+    from techtalk_data_pipeline_snowpark_spark.lake import equality_delete_keys
+
+    t = _mk(spark, tmp_table_root)
+    files_before = set(t.snapshot().files)
+    res = equality_delete_keys(
+        t, spark.createDataFrame([Row(k=i) for i in range(5)]), ["k"]
+    )
+    assert res.summary["mode"] == "equality"
+    assert res.summary["keys_deleted"] == 5
+    assert res.summary["rows_affected"] == -1  # unknown by design
+    snap = t.snapshot()
+    assert set(snap.files) == files_before
+    assert any(m.get("edv") for m in snap.files.values())
+    assert sorted(r.k for r in t.read().collect()) == list(range(5, 20))
+
+
+def test_equality_delete_bucket_scoped_refs(spark, tmp_table_root):
+    """Key-column deletes attach refs only to the touched buckets' files —
+    untouched buckets never pay the read-side anti-join."""
+    from techtalk_data_pipeline_snowpark_spark.lake import equality_delete_keys
+
+    t = _mk(spark, tmp_table_root, n=40, buckets=4)
+    equality_delete_keys(t, spark.createDataFrame([Row(k=1)]), ["k"])
+    snap = t.snapshot()
+    tagged_buckets = {m["bucket"] for m in snap.files.values() if m.get("edv")}
+    assert len(tagged_buckets) == 1
+    assert sorted(r.k for r in t.read().collect()) == [i for i in range(40) if i != 1]
+
+
+def test_equality_delete_reinserted_key_survives(spark, tmp_table_root):
+    """Files appended AFTER the equality delete never carry its ref: a
+    re-inserted key must NOT be killed by the older delete (the Iceberg
+    sequence-number semantics)."""
+    from techtalk_data_pipeline_snowpark_spark.lake import equality_delete_keys
+
+    t = _mk(spark, tmp_table_root, n=10)
+    equality_delete_keys(t, spark.createDataFrame([Row(k=3), Row(k=7)]), ["k"])
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+    t.append(_df(spark, [(3, "reborn")]))
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert (3, "reborn") in got and not any(k == 7 for k, _ in got)
+    # merge-based reinsert too (merge rewrites the touched bucket clean)
+    merge_into(t, _df(spark, [(7, "back")]), on=["k"], when_matched_update="all")
+    assert (7, "back") in {(r.k, r.v) for r in t.read().collect()}
+
+
+def test_equality_delete_stacks_with_positional_dv(spark, tmp_table_root):
+    """A file can carry BOTH a positional DV and an equality ref; both
+    apply."""
+    from techtalk_data_pipeline_snowpark_spark.lake import equality_delete_keys
+
+    t = _mk(spark, tmp_table_root, n=12, buckets=1)
+    delete(t, F.col("k") < 3, mode="mor")
+    equality_delete_keys(t, spark.createDataFrame([Row(k=5), Row(k=6)]), ["k"])
+    assert sorted(r.k for r in t.read().collect()) == [3, 4, 7, 8, 9, 10, 11]
+
+
+def test_equality_delete_changelog_and_compact(spark, tmp_table_root):
+    """Changelog emits exactly the LIVE rows the key set killed (an
+    already-dead key emits nothing); compact absorbs the refs; vacuum then
+    drops the edv parquet."""
+    import os
+
+    from techtalk_data_pipeline_snowpark_spark.lake import equality_delete_keys
+
+    t = _mk(spark, tmp_table_root, n=10)
+    delete(t, F.col("k") == 4, mode="mor")
+    v0 = t.latest_version()
+    equality_delete_keys(
+        t, spark.createDataFrame([Row(k=4), Row(k=5), Row(k=99)]), ["k"]
+    )
+    ch = t.read_changelog(v0).collect()
+    assert {(r.k, r._change_type) for r in ch} == {(5, "delete")}
+    t.compact()
+    snap = t.snapshot()
+    assert not any(m.get("edv") or m.get("dv") for m in snap.files.values())
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 6, 7, 8, 9]
+    t.vacuum(retain_versions=0)
+    edv_dir = os.path.join(tmp_table_root, "data", "_edv")
+    assert not os.path.isdir(edv_dir) or not os.listdir(edv_dir)
+
+
+def test_equality_delete_empty_keyset_noop(spark, tmp_table_root):
+    from techtalk_data_pipeline_snowpark_spark.lake import equality_delete_keys
+
+    t = _mk(spark, tmp_table_root, n=5)
+    res = equality_delete_keys(
+        t, spark.createDataFrame([], "k long"), ["k"]
+    )
+    assert res.summary["keys_deleted"] == 0
+    assert res.summary["files_affected"] == 0
+    assert t.read().count() == 5
