@@ -245,7 +245,7 @@ class CdcEngine:
         # schema reconciliation BEFORE transforms (hard part c)
         batch_target_schema = self._target_schema(sliced.schema)
         if snap0 is not None:
-            evolved, added, widened = reconcile(snap0.schema, batch_target_schema)
+            evolved, added, widened = reconcile(snap0.schema, batch_target_schema, key_cols=list(self.key_cols))
         else:
             from ..lake import ConcurrentCommitError
 
@@ -272,7 +272,7 @@ class CdcEngine:
                         time.sleep(0.05)
                 else:
                     raise
-                evolved, added, widened = reconcile(snap0.schema, batch_target_schema)
+                evolved, added, widened = reconcile(snap0.schema, batch_target_schema, key_cols=list(self.key_cols))
         # The engine's bucket ids (offsets manifest + merge pruning hints)
         # are only meaningful if they agree with how the table's files were
         # actually bucketed. On mismatch (engine constructed with different
@@ -308,7 +308,7 @@ class CdcEngine:
         buckets_trusted, epoch_id, lsn_from, lsn_to, lineage, ph,
     ) -> EpochResult:
         stats = winners.groupBy(
-            bucket_expr(self.key_cols, self.num_buckets).alias("_b")
+            bucket_expr(self.key_cols, self.num_buckets, winners.schema).alias("_b")
         ).agg(
             F.max("lsn").alias("max_lsn"),
             F.count(F.lit(1)).alias("n"),

@@ -77,17 +77,34 @@ def _widened(table_t: T.DataType, batch_t: T.DataType) -> T.DataType | None:
     return None
 
 
+# Key-column widenings that leave the bucket function invariant: integral
+# family members all hash AS LONG and float/double AS DOUBLE (bucket_expr
+# normalization), so these re-type without re-mapping any bucket id.
+_KEY_SAFE_FAMILIES = (
+    {"byte", "short", "integer", "long"},
+    {"float", "double"},
+)
+
+
 def reconcile(
     table_schema: T.StructType,
     batch_schema: T.StructType,
     engine_cols: set[str] | None = None,
+    key_cols: list[str] | None = None,
 ) -> tuple[T.StructType, list[str], list[tuple[str, str, str]]]:
     """Return (evolved_schema, added_cols, widened [(col, old, new)]).
 
     Column matching is case-insensitive (reference `get_ignore_case`
     semantics); the table's existing casing wins.
+
+    ``key_cols``: bucketing keys. A key column may only re-type within a
+    hash-stable family (integral→long, float→double — bucket_expr hashes
+    those normalized); any other change (int→double, date→timestamp) would
+    silently re-map every file's bucket id, so it raises instead of
+    corrupting merge pruning.
     """
     engine_cols = engine_cols or set()
+    key_lower = {k.lower() for k in (key_cols or [])}
     by_lower = {f.name.lower(): f for f in table_schema.fields}
     added: list[str] = []
     widened: list[tuple[str, str, str]] = []
@@ -107,6 +124,16 @@ def reconcile(
                 f"{tf.dataType.simpleString()} vs {bf.dataType.simpleString()}"
             )
         if new_t != tf.dataType:
+            if tf.name.lower() in key_lower:
+                fam = (tf.dataType.typeName(), new_t.typeName())
+                if not any(
+                    fam[0] in f and fam[1] in f for f in _KEY_SAFE_FAMILIES
+                ):
+                    raise SchemaEvolutionError(
+                        f"key column {tf.name} cannot change "
+                        f"{tf.dataType.simpleString()}→{new_t.simpleString()}: "
+                        "the bucket hash is not invariant under it"
+                    )
             widened.append((tf.name, tf.dataType.simpleString(), new_t.simpleString()))
             out_fields[tf.name] = T.StructField(tf.name, new_t, True)
     return T.StructType(list(out_fields.values())), added, widened

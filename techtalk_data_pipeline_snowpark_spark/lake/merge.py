@@ -37,7 +37,9 @@ from .table import CommitResult, LakeTable, bucket_expr
 
 def _touched_buckets(source: DataFrame, key_cols: list[str], n: int) -> list[int]:
     rows = (
-        source.select(bucket_expr(key_cols, n).alias("_b")).distinct().collect()
+        source.select(bucket_expr(key_cols, n, source.schema).alias("_b"))
+        .distinct()
+        .collect()
     )
     return sorted(r["_b"] for r in rows)
 

@@ -56,10 +56,31 @@ DATA_DIR = "data"
 CHECKPOINT_EVERY = 16
 
 
-def bucket_expr(key_cols: list[str], num_buckets: int):
+def bucket_expr(key_cols: list[str], num_buckets: int, schema: T.StructType | None = None):
     """Deterministic bucket id: pmod(murmur3(keys), N) — matches what any
-    executor computes, so bucket pruning in MERGE is exact."""
-    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(num_buckets))
+    executor computes, so bucket pruning in MERGE is exact.
+
+    With ``schema``, integral key columns hash AS LONG and float as double
+    (the Iceberg bucket-transform spec decision, spec §Appendix B): Spark's
+    murmur3 hashes int(5) and long(5) to DIFFERENT values, so without the
+    normalization a key column widened int→long by schema evolution would
+    silently re-map every bucket id — pruned merges would look in the wrong
+    buckets and duplicate existing keys. Normalized, the bucket function is
+    invariant under the widenings `reconcile` permits on keys."""
+    cols = []
+    for c in key_cols:
+        col = F.col(c)
+        if schema is not None:
+            dt = next(
+                (f.dataType for f in schema.fields if f.name.lower() == c.lower()),
+                None,
+            )
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                col = col.cast("long")
+            elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                col = col.cast("double")
+        cols.append(col)
+    return F.pmod(F.hash(*cols), F.lit(num_buckets))
 
 
 @dataclass
@@ -621,7 +642,9 @@ class LakeTable:
         self.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         if num_buckets:
-            out = df.select(*ordered, bucket_expr(key_cols, num_buckets).alias("_b"))
+            out = df.select(
+                *ordered, bucket_expr(key_cols, num_buckets, schema).alias("_b")
+            )
             # One shuffle keyed by (bucket, salt). Write parallelism is NOT
             # capped at num_buckets: when the session has more task slots
             # than buckets, a per-key salt splits each bucket into

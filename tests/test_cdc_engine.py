@@ -420,3 +420,91 @@ def test_all_delete_epoch_cow_fallback_matches(spark, tmp_path):
     rb = b.apply_epoch(full, 300, 300 + len(live))
     assert ra.rows_deleted == rb.rows_deleted == len(live)
     assert a.read_state().count() == b.read_state().count() == 0
+
+
+def test_key_column_widening_keeps_bucket_mapping(spark, tmp_path):
+    """Widening a KEY column (int→long) must not re-map bucket ids: Spark's
+    murmur3 hashes int(5) and long(5) differently, so without bucket_expr's
+    hash normalization (integral keys hash AS LONG — the Iceberg bucket
+    transform decision) a widened key would make pruned merges look in the
+    wrong buckets and duplicate every existing key instead of updating it."""
+    import pyspark.sql.types as T
+
+    s_int = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    s_long = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    p1 = spark.createDataFrame(
+        [(i + 1, "upsert", i, f"v1_{i}") for i in range(200)], s_int
+    )
+    # phase 2 UPDATES half the existing keys, now typed long
+    p2 = spark.createDataFrame(
+        [(1000 + i, "upsert", i, f"v2_{i}") for i in range(0, 200, 2)], s_long
+    )
+    eng = CdcEngine(spark, str(tmp_path / "t"), key_cols=("k",), num_buckets=8)
+    eng.replay(p1, max_lsn=200, epoch_size=10**9)
+    eng.replay(p2, max_lsn=1200, epoch_size=10**9)
+    state = eng.read_state().toPandas()
+    # the fatal symptom of a re-mapped bucket function is DUPLICATED keys
+    assert len(state) == 200, f"expected 200 rows, got {len(state)}"
+    assert state.k.is_unique
+    got = dict(zip(state.k, state.v))
+    assert got[0] == "v2_0" and got[1] == "v1_1" and got[198] == "v2_198"
+    assert dict(eng.read_state().dtypes)["k"] == "bigint"
+
+
+def test_key_column_unsafe_retype_refused(spark, tmp_path):
+    """A key re-type the bucket hash is NOT invariant under (int→double)
+    must raise, not silently corrupt pruning."""
+    import pyspark.sql.types as T
+
+    from techtalk_data_pipeline_snowpark_spark.cdc.schema_evolution import (
+        SchemaEvolutionError,
+        reconcile,
+    )
+
+    t_schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    b_schema = T.StructType(
+        [T.StructField("k", T.DoubleType()), T.StructField("v", T.StringType())]
+    )
+    # non-key widening int→double is fine...
+    reconcile(t_schema, b_schema, key_cols=["v"])
+    # ...but on the bucketing key it must refuse
+    with pytest.raises(SchemaEvolutionError, match="bucket hash"):
+        reconcile(t_schema, b_schema, key_cols=["k"])
+
+
+def test_bucket_expr_hash_normalization(spark):
+    """bucket_expr(schema=...) gives int and long encodings of the same
+    value the same bucket."""
+    import pyspark.sql.types as T
+
+    from techtalk_data_pipeline_snowpark_spark.lake import bucket_expr
+
+    s_int = T.StructType([T.StructField("k", T.IntegerType())])
+    s_long = T.StructType([T.StructField("k", T.LongType())])
+    d_int = spark.createDataFrame([(i,) for i in range(50)], s_int)
+    d_long = spark.createDataFrame([(i,) for i in range(50)], s_long)
+    b_int = {
+        r.k: r.b
+        for r in d_int.select("k", bucket_expr(["k"], 8, s_int).alias("b")).collect()
+    }
+    b_long = {
+        r.k: r.b
+        for r in d_long.select("k", bucket_expr(["k"], 8, s_long).alias("b")).collect()
+    }
+    assert b_int == b_long
