@@ -536,6 +536,55 @@ SELECT 'compacted' AS phase, o_orderkey, o_orderstatus, o_totalprice FROM kept
 """
 
 
+def rebucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution under the exact-oracle gate: a table
+    created at 2 buckets takes an UPDATE, widens to 8 buckets via
+    ``rebucket`` (one atomic rewrite commit — the bucket-count headroom a
+    growing table needs at 100×), then takes a MERGE that must prune and
+    land against the NEW layout. Final state must equal plain SQL."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    root = tempfile.mkdtemp(prefix="rebucket_")
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "orders"),
+        orders.schema,
+        key_cols=["o_orderkey"],
+        num_buckets=2,
+    )
+    tbl.append(orders)
+    lake_update(
+        tbl,
+        {"o_totalprice": F.col("o_totalprice") + 1},
+        F.col("o_orderstatus") == "F",
+    )
+    tbl.rebucket(8)
+    src = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("R").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 0).alias("o_totalprice"),
+    )
+    merge_into(tbl, src, on=["o_orderkey"], when_matched_update="all")
+    return tbl.read().select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_REBUCKET_ORACLE = """
+WITH u AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice
+FROM u
+"""
+
+
 def merge_expression_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expression-ON MERGE parity (SampleCrud.scala:38-65: merge on
     substring(code, 0, 4) of BOTH sides; SnowflakeUtilsOld.scala:84-109
@@ -1184,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_expression_key": merge_expression_key,
         "time_travel_orders": time_travel_orders,
         "dv_delete_orders": dv_delete_orders,
+        "rebucket_orders": rebucket_orders,
         "ingest_orders_roundtrip": ingest_orders_roundtrip,
         "read_changelog_orders": read_changelog_orders,
         "stream_ingest_orders": stream_ingest_orders,
@@ -1223,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_expression_key": _MERGE_EXPR_ORACLE,
         "time_travel_orders": _TIME_TRAVEL_ORACLE,
         "dv_delete_orders": _DV_DELETE_ORACLE,
+        "rebucket_orders": _REBUCKET_ORACLE,
         "ingest_orders_roundtrip": _INGEST_ORACLE,
         "read_changelog_orders": _CHANGELOG_ORACLE,
         "stream_ingest_orders": _STREAM_INGEST_ORACLE,
