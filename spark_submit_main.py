@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--broadcast-limit", type=int, default=2_000_000,
                    help="winner-set size above which the payload semi-join "
                         "shuffles instead of broadcasting")
+    p.add_argument("--compact-every", type=int, default=None,
+                   help="run table maintenance (small-file consolidation + "
+                        "deletion-vector absorption) after every K epochs")
+    p.add_argument("--vacuum-retain", type=int, default=None,
+                   help="after replay, vacuum data+metadata keeping the "
+                        "last N versions of time travel")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -80,9 +86,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     t0 = time.time()
     results = eng.replay(
-        log, max_lsn=max_lsn, epoch_size=(max_lsn + args.epochs - 1) // args.epochs
+        log, max_lsn=max_lsn, epoch_size=(max_lsn + args.epochs - 1) // args.epochs,
+        compact_every=args.compact_every,
     )
     dt = time.time() - t0
+    vacuumed = None
+    if args.vacuum_retain is not None:
+        t = eng.table()
+        vacuumed = t.vacuum(retain_versions=args.vacuum_retain)
+        t.vacuum_metadata(retain_versions=args.vacuum_retain)
     n_events = sum(r.events for r in results)
     print(json.dumps({
         "replay_sec": round(dt, 3),
@@ -95,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
             for r in results
         ],
         "final_rows": eng.read_state().count(),
+        **({"files_vacuumed": vacuumed} if vacuumed is not None else {}),
     }))
     return 0
 

@@ -443,18 +443,35 @@ class CdcEngine:
         max_lsn: int | None = None,
         epoch_size: int = 1_000_000,
         lineage: dict | None = None,
+        compact_every: int | None = None,
+        compact_max_files_per_bucket: int = 1,
     ) -> list[EpochResult]:
         """Replay the whole event log in epochs; resumes from the last
         committed epoch automatically (reads the manifest — SURVEY.md §4
-        item 4)."""
+        item 4).
+
+        ``compact_every=K`` runs table maintenance (``LakeTable.compact``:
+        small-file consolidation + deletion-vector absorption) after every
+        K applied epochs — the long-tail hygiene a continuous ingest needs
+        so per-epoch files and MOR tombstones can't accumulate unboundedly.
+        Compaction is row-invariant and changelog-invisible, so resumed
+        replays, competing replayers, and stream consumers are unaffected
+        (the optimistic version pin simply retries if a compact lands
+        between an epoch's snapshot and its commit)."""
         if max_lsn is None:
             max_lsn = events.agg(F.max("lsn")).first()[0] or 0
         results = []
         cur = self.last_lsn()
+        applied = 0
         while cur < max_lsn:
             hi = min(cur + epoch_size, max_lsn)
             results.append(self.apply_epoch(events, cur, hi, lineage=lineage))
             cur = hi
+            applied += 1
+            if compact_every and applied % compact_every == 0:
+                self.table().compact(
+                    max_files_per_bucket=compact_max_files_per_bucket
+                )
         return results
 
     # ------------------------------------------------------------- source
