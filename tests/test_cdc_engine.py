@@ -508,3 +508,24 @@ def test_bucket_expr_hash_normalization(spark):
         for r in d_long.select("k", bucket_expr(["k"], 8, s_long).alias("b")).collect()
     }
     assert b_int == b_long
+
+
+def test_replay_with_periodic_compaction(spark, tmp_path):
+    """compact_every=1 interleaves maintenance with every epoch: the final
+    state is identical to an uncompacted replay, the file count stays at
+    ≤1 per bucket, and resume-from-manifest still works across the extra
+    compact commits."""
+    ev = change_events(spark, N, n_repos=20, paths_per_repo=15, seed=7)
+    e_plain = CdcEngine(spark, str(tmp_path / "plain"), num_buckets=8)
+    e_plain.replay(ev, epoch_size=1000)
+    e_comp = CdcEngine(spark, str(tmp_path / "comp"), num_buckets=8)
+    e_comp.replay(ev, epoch_size=1000, compact_every=1)
+    _assert_state_equal(_final_state_pdf(e_plain), _final_state_pdf(e_comp))
+    snap = e_comp.table().snapshot()
+    per_bucket = {}
+    for m in snap.files.values():
+        per_bucket[m["bucket"]] = per_bucket.get(m["bucket"], 0) + 1
+    assert all(n <= 1 for n in per_bucket.values())
+    # re-replay is still a no-op (manifest survives the compact commits)
+    again = e_comp.replay(ev, epoch_size=1000, compact_every=1)
+    assert all(r.skipped for r in again)
