@@ -536,6 +536,62 @@ SELECT 'compacted' AS phase, o_orderkey, o_orderstatus, o_totalprice FROM kept
 """
 
 
+def ivm_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under the exact-oracle gate: a
+    count+sum view over a mutating lake table is maintained from changelog
+    DELTAS (insert +, delete −, update = preimage − + postimage +) across
+    an append, an UPDATE, and a DELETE — three refreshes, each one MERGE
+    over only the changed groups — and must equal the SQL GROUP BY of the
+    final state. The reference recomputes derived views per DAG tick
+    (TopRestaurantsLast30Days.scala:20-38); at 100 TB recomputation is the
+    bug and the delta is the fix."""
+    from techtalk_data_pipeline_snowpark_spark.lake import IncrementalAggView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_custkey").cast("long").alias("qty"),
+    )
+    root = tempfile.mkdtemp(prefix="ivm_")
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "orders"),
+        orders.schema,
+        key_cols=["o_orderkey"],
+        num_buckets=4,
+    )
+    view = IncrementalAggView(
+        spark,
+        tbl,
+        os.path.join(root, "view"),
+        group_cols=["o_orderstatus"],
+        sum_cols={"total_qty": "qty"},
+        num_buckets=2,
+    )
+    tbl.append(orders)
+    view.refresh()
+    lake_update(tbl, {"qty": F.col("qty") + 5}, F.col("o_orderkey") % 7 == 0)
+    view.refresh()
+    lake_delete(tbl, F.col("qty") > 12000)
+    view.refresh()
+    return view.read().select("o_orderstatus", "cnt", "total_qty")
+
+
+_IVM_ORACLE = """
+WITH u AS (
+  SELECT o_orderstatus,
+         CAST(o_custkey AS BIGINT)
+           + CASE WHEN o_orderkey % 7 = 0 THEN 5 ELSE 0 END AS qty
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(qty) AS BIGINT) AS total_qty
+FROM u WHERE qty <= 12000
+GROUP BY o_orderstatus
+"""
+
+
 def rebucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution under the exact-oracle gate: a table
     created at 2 buckets takes an UPDATE, widens to 8 buckets via
@@ -1234,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_orders": time_travel_orders,
         "dv_delete_orders": dv_delete_orders,
         "rebucket_orders": rebucket_orders,
+        "ivm_orders_by_status": ivm_orders_by_status,
         "ingest_orders_roundtrip": ingest_orders_roundtrip,
         "read_changelog_orders": read_changelog_orders,
         "stream_ingest_orders": stream_ingest_orders,
@@ -1274,6 +1331,7 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_orders": _TIME_TRAVEL_ORACLE,
         "dv_delete_orders": _DV_DELETE_ORACLE,
         "rebucket_orders": _REBUCKET_ORACLE,
+        "ivm_orders_by_status": _IVM_ORACLE,
         "ingest_orders_roundtrip": _INGEST_ORACLE,
         "read_changelog_orders": _CHANGELOG_ORACLE,
         "stream_ingest_orders": _STREAM_INGEST_ORACLE,

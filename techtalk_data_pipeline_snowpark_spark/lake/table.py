@@ -477,11 +477,18 @@ class LakeTable:
         return out
 
     def read_changelog(
-        self, start_version: int, end_version: int | None = None
+        self,
+        start_version: int,
+        end_version: int | None = None,
+        emit_preimages: bool = False,
     ) -> DataFrame:
         """Row-level change feed for (start_version, end_version]: table
-        columns + ``_change_type`` (insert | update_postimage | delete) +
-        ``_commit_version``.
+        columns + ``_change_type`` (insert | update_postimage | delete, plus
+        update_preimage when ``emit_preimages=True`` — the Delta CDF
+        four-type shape) + ``_commit_version``. Preimages are what make
+        DELTA CONSUMERS (incremental view maintenance, sum/count rollups)
+        possible: an update contributes -pre +post, and without the pre row
+        a maintained SUM silently drifts.
 
         Append commits are insert rows straight from their added files. For
         rewrite commits (merge/update/delete/overwrite) the changes are
@@ -590,6 +597,11 @@ class LakeTable:
                     _tag(changed.join(old_keys, on=keys, how="leftsemi"),
                          "update_postimage", v)
                 )
+                if emit_preimages:
+                    pieces.append(
+                        _tag(removed.join(new_keys, on=keys, how="leftsemi"),
+                             "update_preimage", v)
+                    )
                 pieces.append(
                     _tag(changed.join(old_keys, on=keys, how="left_anti"), "insert", v)
                 )

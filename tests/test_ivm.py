@@ -1,0 +1,165 @@
+"""Incremental view maintenance: a maintained groupBy aggregate must equal
+the full recompute after every refresh, across inserts / updates / deletes /
+merges / compacts — powered by changelog preimages (Delta CDF four-type)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from techtalk_data_pipeline_snowpark_spark.lake import (
+    IncrementalAggView,
+    LakeTable,
+    delete,
+    merge_into,
+    update,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("size", T.LongType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(repo=r, path=p, size=int(s)) for r, p, s in rows], SCHEMA
+    )
+
+
+def _recompute(t):
+    return {
+        (r.repo, r.cnt, r.total)
+        for r in t.read()
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("size").alias("total"))
+        .collect()
+    }
+
+
+def _view_state(view):
+    return {(r.repo, r.cnt, r.total) for r in view.read().collect()}
+
+
+def test_changelog_emits_update_preimages(spark, tmp_table_root):
+    """emit_preimages=True adds the update_preimage rows (Delta CDF shape);
+    default output is unchanged."""
+    t = LakeTable.create(
+        spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    t.append(_df(spark, [("a", "1", 10), ("b", "2", 20)]))
+    v0 = t.latest_version()
+    update(t, {"size": F.col("size") + 5}, F.col("repo") == "a")
+    default = {(r.repo, r.size, r._change_type) for r in t.read_changelog(v0).collect()}
+    assert default == {("a", 15, "update_postimage")}
+    with_pre = {
+        (r.repo, r.size, r._change_type)
+        for r in t.read_changelog(v0, emit_preimages=True).collect()
+    }
+    assert with_pre == {("a", 15, "update_postimage"), ("a", 10, "update_preimage")}
+
+
+def test_ivm_tracks_full_recompute(spark, tmp_table_root):
+    """Maintained count+sum view equals the recompute after every kind of
+    source mutation, refreshing incrementally each time."""
+    t = LakeTable.create(
+        spark,
+        tmp_table_root + "/src",
+        SCHEMA,
+        key_cols=["repo", "path"],
+        num_buckets=4,
+    )
+    view = IncrementalAggView(
+        spark,
+        t,
+        tmp_table_root + "/view",
+        group_cols=["repo"],
+        sum_cols={"total": "size"},
+        num_buckets=2,
+    )
+    # 1. initial appends
+    t.append(_df(spark, [(f"r{i % 3}", f"p{i}", i) for i in range(30)]))
+    assert view.refresh()["refreshed"] is True
+    assert _view_state(view) == _recompute(t)
+
+    # 2. update (needs preimages: sums must subtract the old values)
+    update(t, {"size": F.col("size") * 10}, F.col("repo") == "r1")
+    view.refresh()
+    assert _view_state(view) == _recompute(t)
+
+    # 3. delete a slice
+    delete(t, F.col("size") >= 200)
+    view.refresh()
+    assert _view_state(view) == _recompute(t)
+
+    # 4. merge: upsert + insert + delete branch in one commit
+    src = _df(spark, [("r0", "p0", 999), ("r9", "new", 7), ("r2", "p2", -1)])
+    merge_into(
+        t,
+        src,
+        on=["repo", "path"],
+        when_matched_update="all",
+        when_matched_delete=F.col("s.size") < 0,
+    )
+    view.refresh()
+    assert _view_state(view) == _recompute(t)
+
+    # 5. a group vanishing entirely must DELETE its view row
+    delete(t, F.col("repo") == "r9")
+    view.refresh()
+    state = _view_state(view)
+    assert state == _recompute(t)
+    assert not any(g == "r9" for g, _, _ in state)
+
+    # 6. compact is changelog-invisible → refresh no-ops but advances
+    t.compact()
+    r = view.refresh()
+    assert r["refreshed"] is True
+    assert _view_state(view) == _recompute(t)
+
+    # 7. idempotence: nothing new → no-op refresh
+    r2 = view.refresh()
+    assert r2["refreshed"] is False
+    assert view.applied_source_version() == t.latest_version()
+
+
+def test_ivm_refresh_is_atomic_and_resumable(spark, tmp_table_root):
+    """The applied-source-version stamp rides the merge commit itself, so a
+    duplicate refresh of the same range is a no-op (exactly-once effects)."""
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    view = IncrementalAggView(
+        spark, t, tmp_table_root + "/view", group_cols=["repo"], sum_cols={"total": "size"}
+    )
+    t.append(_df(spark, [("a", "1", 1), ("a", "2", 2), ("b", "3", 3)]))
+    view.refresh()
+    v = view.applied_source_version()
+    # a second view object over the same roots must see the stamp and no-op
+    view2 = IncrementalAggView(
+        spark, t, tmp_table_root + "/view", group_cols=["repo"], sum_cols={"total": "size"}
+    )
+    assert view2.refresh()["refreshed"] is False
+    assert view2.applied_source_version() == v
+    assert _view_state(view2) == _recompute(t)
+
+
+def test_ivm_catchup_spans_many_commits(spark, tmp_table_root):
+    """One refresh may cover many source commits (a view that fell behind):
+    the single delta aggregation must net them all out."""
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    view = IncrementalAggView(
+        spark, t, tmp_table_root + "/view", group_cols=["repo"], sum_cols={"total": "size"}
+    )
+    t.append(_df(spark, [("a", "1", 1), ("b", "2", 2)]))
+    update(t, {"size": F.col("size") + 100}, F.col("repo") == "a")
+    t.append(_df(spark, [("c", "3", 3)]))
+    delete(t, F.col("repo") == "b")
+    update(t, {"size": F.col("size") - 1}, F.lit(True))
+    assert view.refresh()["refreshed"] is True
+    assert _view_state(view) == _recompute(t)
