@@ -97,6 +97,7 @@ class CdcEngine:
         use_pandas_udfs: bool = True,
         broadcast_key_limit: int = 2_000_000,
         mor_all_delete_epochs: bool = True,
+        all_delete_mode: str | None = None,
     ):
         self.spark = spark
         self.table_root = table_root
@@ -110,10 +111,25 @@ class CdcEngine:
         # back to a shuffled semi-join whose key partitioning the merge
         # join then reuses.
         self.broadcast_key_limit = broadcast_key_limit
-        # a 100%-delete epoch commits deletion vectors (merge-on-read)
-        # instead of rewriting every touched bucket — see lake/merge.py
-        # mor_delete_keys; compact() absorbs the DVs off the ingest path.
-        self.mor_all_delete_epochs = mor_all_delete_epochs
+        # How a 100%-delete epoch commits (compact() absorbs either MOR
+        # form off the ingest path):
+        #   "mor"      — positional deletion vectors: key-semi-join scan of
+        #                the touched buckets records doomed (file, pos)
+        #                pairs; exact rows_deleted metric (default).
+        #   "equality" — equality deletes: the KEY SET itself is committed,
+        #                ZERO table scan (O(keys) regardless of table
+        #                size); rows_deleted then reports the number of
+        #                winner keys targeted, not rows proven live —
+        #                final state is still exact (readers anti-join).
+        #   "merge"    — copy-on-write MERGE (rewrites touched buckets).
+        # mor_all_delete_epochs=False is the back-compat spelling of
+        # all_delete_mode="merge".
+        if all_delete_mode is None:
+            all_delete_mode = "mor" if mor_all_delete_epochs else "merge"
+        if all_delete_mode not in ("mor", "equality", "merge"):
+            raise ValueError(f"unknown all_delete_mode {all_delete_mode!r}")
+        self.all_delete_mode = all_delete_mode
+        self.mor_all_delete_epochs = all_delete_mode != "merge"
 
     # ------------------------------------------------------------- state
     def table(self) -> LakeTable:
@@ -382,35 +398,50 @@ class CdcEngine:
             "committed_at": time.time(),
         }
         if (
-            self.mor_all_delete_epochs
+            self.all_delete_mode != "merge"
             and n_delete_winners == n_events
             and snap_for_merge.files
         ):
-            # every winner is a delete → merge-on-read: key-semi-join scan
-            # of the touched buckets records doomed (file, pos) pairs as
-            # deletion vectors; zero surviving rows rewritten. The commit
-            # still carries the epoch manifest + LSN watermark atomically.
-            from ..lake.merge import mor_delete_keys
+            # every winner is a delete → merge-on-read. "mor": key-semi-join
+            # scan of the touched buckets records doomed (file, pos) pairs
+            # as deletion vectors; zero surviving rows rewritten.
+            # "equality": the key set itself is the commit — no scan at all.
+            # Either way the commit still carries the epoch manifest + LSN
+            # watermark atomically.
+            props = {
+                PROP_LAST_LSN: lsn_to,
+                PROP_EPOCH_ID: epoch_id,
+                "cdc.manifest": json.dumps(manifest),
+            }
+            tb = [int(b) for b in partition_offsets] if buckets_trusted else None
+            if self.all_delete_mode == "equality":
+                from ..lake.merge import equality_delete_keys
 
-            res = mor_delete_keys(
-                table,
-                winners,
-                self.key_cols,
-                snap=snap_for_merge,
-                properties={
-                    PROP_LAST_LSN: lsn_to,
-                    PROP_EPOCH_ID: epoch_id,
-                    "cdc.manifest": json.dumps(manifest),
-                },
-                touched_buckets=(
-                    [int(b) for b in partition_offsets] if buckets_trusted else None
-                ),
-                broadcast=n_events <= self.broadcast_key_limit,
-            )
+                res = equality_delete_keys(
+                    table,
+                    winners,
+                    self.key_cols,
+                    snap=snap_for_merge,
+                    properties=props,
+                    touched_buckets=tb,
+                )
+                deleted = res.summary["keys_deleted"]
+            else:
+                from ..lake.merge import mor_delete_keys
+
+                res = mor_delete_keys(
+                    table,
+                    winners,
+                    self.key_cols,
+                    snap=snap_for_merge,
+                    properties=props,
+                    touched_buckets=tb,
+                    broadcast=n_events <= self.broadcast_key_limit,
+                )
+                deleted = res.summary["rows_affected"]
             ph.mark("mor-delete+commit")
             return EpochResult(
-                epoch_id, lsn_from, lsn_to, n_events,
-                0, 0, res.summary["rows_affected"],
+                epoch_id, lsn_from, lsn_to, n_events, 0, 0, deleted,
             )
 
         res = merge_into(
