@@ -98,6 +98,7 @@ class CdcEngine:
         broadcast_key_limit: int = 2_000_000,
         mor_all_delete_epochs: bool = True,
         all_delete_mode: str | None = None,
+        quarantine_dir: str | None = None,
     ):
         self.spark = spark
         self.table_root = table_root
@@ -130,6 +131,12 @@ class CdcEngine:
             raise ValueError(f"unknown all_delete_mode {all_delete_mode!r}")
         self.all_delete_mode = all_delete_mode
         self.mor_all_delete_epochs = all_delete_mode != "merge"
+        # dead-letter channel: events whose key columns contain nulls (the
+        # WAL contract requires a full key) are counted in every epoch's
+        # manifest (null_key_winners, from the same stats pass — free) and,
+        # when quarantine_dir is set, the raw offending EVENTS are appended
+        # there for inspection / replay-after-fix.
+        self.quarantine_dir = quarantine_dir
 
     # ------------------------------------------------------------- state
     def table(self) -> LakeTable:
@@ -323,18 +330,40 @@ class CdcEngine:
         self, table, snap0, winners, sliced, evolved, added, widened,
         buckets_trusted, epoch_id, lsn_from, lsn_to, lineage, ph,
     ) -> EpochResult:
+        # Null-key events violate the WAL contract (a change event without a
+        # full key addresses nothing) — every equi-join in the pipeline
+        # would drop them SILENTLY. Count them in the same stats pass (free)
+        # and surface the count in the manifest; quarantine_dir additionally
+        # lands the offending raw events for inspection/replay-after-fix.
+        null_key = None
+        for k in self.key_cols:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
         stats = winners.groupBy(
             bucket_expr(self.key_cols, self.num_buckets, winners.schema).alias("_b")
         ).agg(
             F.max("lsn").alias("max_lsn"),
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_del"),
+            F.sum(F.when(null_key, 1).otherwise(0)).alias("n_null"),
+            F.sum(
+                F.when(null_key & (F.col("op") == "delete"), 1).otherwise(0)
+            ).alias("n_null_del"),
         )
         stat_rows = stats.collect()
         ph.mark("winner-stats-collect")
-        n_events = int(sum(r["n"] for r in stat_rows))
-        n_delete_winners = int(sum(r["n_del"] for r in stat_rows))
+        n_null_winners = int(sum(r["n_null"] for r in stat_rows))
+        # null-key winners never reach the merge (equi-joins can't match
+        # them) — exclude them from the applied-event and delete counts so
+        # metrics reflect what actually landed.
+        n_events = int(sum(r["n"] for r in stat_rows)) - n_null_winners
+        n_delete_winners = int(sum(r["n_del"] for r in stat_rows)) - int(
+            sum(r["n_null_del"] for r in stat_rows)
+        )
         partition_offsets = {str(r["_b"]): int(r["max_lsn"]) for r in stat_rows}
+        if n_null_winners and self.quarantine_dir:
+            sliced.where(null_key).write.mode("append").parquet(self.quarantine_dir)
+            ph.mark("quarantine-write")
 
         # Payload path: salted two-phase reduction for adversarial skew, or
         # the default winners semi-join (broadcast while the winner set is
@@ -395,6 +424,8 @@ class CdcEngine:
                 "matches_table_layout": buckets_trusted,
             },
             "lineage": lineage or {},
+            "null_key_winners": n_null_winners,
+            "quarantined_to": self.quarantine_dir if n_null_winners else None,
             "committed_at": time.time(),
         }
         if (

@@ -575,3 +575,50 @@ def test_all_delete_epoch_equality_mode(spark, tmp_path):
     b.table().compact()
     assert not any(m.get("edv") for m in b.table().snapshot().files.values())
     _assert_state_equal(_final_state_pdf(a), _final_state_pdf(b))
+
+
+def test_null_key_events_quarantined_and_counted(spark, tmp_path):
+    """Events with null key columns violate the WAL contract; every
+    equi-join would drop them SILENTLY. The engine counts them in the epoch
+    manifest (same stats pass) and, with quarantine_dir set, lands the raw
+    events there; metrics reflect only what actually merged."""
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, "upsert", "r", "a", "x"),
+        (2, "upsert", None, "b", "y"),      # malformed: null repo
+        (3, "upsert", "r", None, "z"),      # malformed: null path
+        (4, "delete", None, "c", None),     # malformed delete
+        (5, "upsert", "r", "d", "w"),
+    ]
+    ev = spark.createDataFrame(rows, sch)
+    qdir = str(tmp_path / "quarantine")
+    eng = CdcEngine(
+        spark, str(tmp_path / "t"), key_cols=("repo", "path"), num_buckets=2,
+        quarantine_dir=qdir,
+    )
+    res = eng.replay(ev, max_lsn=5, epoch_size=10**9)[0]
+    # metrics count only what merged: 2 valid upserts
+    assert res.events == 2
+    assert res.rows_inserted == 2 and res.rows_deleted == 0
+    state = {(r.repo, r.path) for r in eng.read_state().collect()}
+    assert state == {("r", "a"), ("r", "d")}
+    m = eng.manifests()[-1]
+    assert m["null_key_winners"] == 3
+    assert m["quarantined_to"] == qdir
+    quarantined = spark.read.parquet(qdir)
+    assert {r.lsn for r in quarantined.collect()} == {2, 3, 4}
+    # a clean epoch records zero and does not touch the quarantine
+    ev2 = spark.createDataFrame([(6, "upsert", "r", "e", "v")], sch)
+    eng.replay(ev.unionByName(ev2), max_lsn=6, epoch_size=10**9)
+    assert eng.manifests()[-1]["null_key_winners"] == 0
+    assert spark.read.parquet(qdir).count() == 3
