@@ -45,6 +45,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--broadcast-limit", type=int, default=2_000_000,
                    help="winner-set size above which the payload semi-join "
                         "shuffles instead of broadcasting")
+    p.add_argument("--quarantine-dir", default=None,
+                   help="dead-letter dir: null-key events are appended here "
+                        "as raw parquet (always counted in the manifest)")
+    p.add_argument("--all-delete-mode", choices=("mor", "equality", "merge"),
+                   default="mor",
+                   help="how a 100%%-delete epoch commits: positional DVs "
+                        "(mor), scan-free equality deletes, or CoW merge")
     p.add_argument("--compact-every", type=int, default=None,
                    help="run table maintenance (small-file consolidation + "
                         "deletion-vector absorption) after every K epochs")
@@ -83,6 +90,8 @@ def main(argv: list[str] | None = None) -> int:
         salted=args.salted,
         use_pandas_udfs=not args.no_pandas_udfs,
         broadcast_key_limit=args.broadcast_limit,
+        all_delete_mode=args.all_delete_mode,
+        quarantine_dir=args.quarantine_dir,
     )
     t0 = time.time()
     results = eng.replay(
