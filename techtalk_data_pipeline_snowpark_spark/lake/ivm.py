@@ -98,38 +98,57 @@ class IncrementalAggView:
             aggs.append(F.sum(F.col(col) * sign).alias(out))
         return ch.groupBy(*self.group_cols).agg(*aggs)
 
-    def refresh(self) -> dict:
+    def refresh(self, _retries: int = 5) -> dict:
         """Catch the view up to the source's current version. One MERGE,
-        one atomic commit, version stamped in the same commit."""
-        src_v = self.source.latest_version()
-        last = self.applied_source_version()
-        if src_v <= last:
-            return {"refreshed": False, "source_version": last}
-        delta = self._delta(last, src_v)
-        vt = self.table()
-        props = {PROP_SOURCE_VERSION: str(src_v)}
-        if not vt.exists():
-            vt = LakeTable.create(
-                self.spark,
-                self.root,
-                delta.schema,
-                key_cols=self.group_cols,
-                num_buckets=self.num_buckets,
-            )
-        agg_cols = ["cnt", *self.sum_cols.keys()]
-        res = merge_into(
-            vt,
-            delta,
-            on=self.group_cols,
-            when_matched_update={
-                c: F.col(f"t.{c}") + F.col(f"s.{c}") for c in agg_cols
-            },
-            when_matched_delete=(F.col("t.cnt") + F.col("s.cnt")) == 0,
-            when_not_matched_insert=F.col("s.cnt") > 0,
-            properties=props,
-        )
-        return {
-            "refreshed": True,
-            "source_version": src_v,
-            "merge": res.summary,
-        }
+        one atomic commit, version stamped in the same commit.
+
+        Safe under COMPETING REFRESHERS: the merge pins the view's
+        expected version, so a racing refresh loses the commit; the loser
+        re-reads the stamp — if the rival already covered the range it
+        no-ops, otherwise it recomputes the delta from the NEW applied
+        version and retries (same optimistic-concurrency argument as the
+        CDC engine's competing replayers)."""
+        from .table import ConcurrentCommitError
+
+        last_err = None
+        for _ in range(_retries):
+            src_v = self.source.latest_version()
+            last = self.applied_source_version()
+            if src_v <= last:
+                return {"refreshed": False, "source_version": last}
+            delta = self._delta(last, src_v)
+            vt = self.table()
+            props = {PROP_SOURCE_VERSION: str(src_v)}
+            if not vt.exists():
+                try:
+                    vt = LakeTable.create(
+                        self.spark,
+                        self.root,
+                        delta.schema,
+                        key_cols=self.group_cols,
+                        num_buckets=self.num_buckets,
+                    )
+                except (FileExistsError, ConcurrentCommitError):
+                    continue  # rival created it — re-read the stamp
+            agg_cols = ["cnt", *self.sum_cols.keys()]
+            try:
+                res = merge_into(
+                    vt,
+                    delta,
+                    on=self.group_cols,
+                    when_matched_update={
+                        c: F.col(f"t.{c}") + F.col(f"s.{c}") for c in agg_cols
+                    },
+                    when_matched_delete=(F.col("t.cnt") + F.col("s.cnt")) == 0,
+                    when_not_matched_insert=F.col("s.cnt") > 0,
+                    properties=props,
+                )
+            except ConcurrentCommitError as e:
+                last_err = e
+                continue  # rival committed — recompute from the new stamp
+            return {
+                "refreshed": True,
+                "source_version": src_v,
+                "merge": res.summary,
+            }
+        raise last_err or RuntimeError("refresh retries exhausted")

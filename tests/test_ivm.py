@@ -163,3 +163,44 @@ def test_ivm_catchup_spans_many_commits(spark, tmp_table_root):
     update(t, {"size": F.col("size") - 1}, F.lit(True))
     assert view.refresh()["refreshed"] is True
     assert _view_state(view) == _recompute(t)
+
+
+def test_ivm_competing_refreshers_converge(spark, tmp_table_root):
+    """Two refreshers racing on the same view: the version pin serializes
+    them — each range applies exactly once, the final view equals the
+    recompute (no double-counted deltas)."""
+    import threading
+
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    t.append(_df(spark, [(f"r{i % 4}", f"p{i}", i) for i in range(40)]))
+    update(t, {"size": F.col("size") + 7}, F.col("repo") == "r2")
+
+    def mk():
+        return IncrementalAggView(
+            spark, t, tmp_table_root + "/view",
+            group_cols=["repo"], sum_cols={"total": "size"},
+        )
+
+    errors = []
+
+    def run():
+        try:
+            mk().refresh()
+        except Exception as e:  # noqa: BLE001 — surface in the assertion
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    view = mk()
+    assert view.applied_source_version() == t.latest_version()
+    assert _view_state(view) == _recompute(t)
+    # and a later serial refresh still works
+    delete(t, F.col("repo") == "r0")
+    view.refresh()
+    assert _view_state(view) == _recompute(t)
