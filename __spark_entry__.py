@@ -536,6 +536,49 @@ SELECT 'compacted' AS phase, o_orderkey, o_orderstatus, o_totalprice FROM kept
 """
 
 
+def equality_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality deletes under the exact-oracle gate: the key set itself is
+    committed (Iceberg v2 equality-delete shape — ZERO table scan, no
+    survivor rewrite), readers anti-join it out; a LATER append re-inserts
+    some of the deleted keys and must survive (refs attach per-file at
+    commit time, so newer files never see the older delete)."""
+    from techtalk_data_pipeline_snowpark_spark.lake import equality_delete_keys
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    root = tempfile.mkdtemp(prefix="eqdel_")
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "orders"),
+        orders.schema,
+        key_cols=["o_orderkey"],
+        num_buckets=4,
+    )
+    tbl.append(orders)
+    doomed = orders.where(F.col("o_orderkey") % 100 == 0).select("o_orderkey")
+    equality_delete_keys(tbl, doomed, ["o_orderkey"])
+    reborn = orders.where(F.col("o_orderkey") % 200 == 0).select(
+        "o_orderkey",
+        F.lit("Z").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    tbl.append(reborn)
+    return tbl.read().select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_EQUALITY_DELETE_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 100 <> 0
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, 'Z' AS o_orderstatus,
+       o_totalprice * 2 AS o_totalprice
+FROM orders WHERE o_orderkey % 200 = 0
+"""
+
+
 def ivm_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance under the exact-oracle gate: a
     count+sum view over a mutating lake table is maintained from changelog
@@ -1289,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_expression_key": merge_expression_key,
         "time_travel_orders": time_travel_orders,
         "dv_delete_orders": dv_delete_orders,
+        "equality_delete_orders": equality_delete_orders,
         "rebucket_orders": rebucket_orders,
         "ivm_orders_by_status": ivm_orders_by_status,
         "ingest_orders_roundtrip": ingest_orders_roundtrip,
@@ -1330,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_expression_key": _MERGE_EXPR_ORACLE,
         "time_travel_orders": _TIME_TRAVEL_ORACLE,
         "dv_delete_orders": _DV_DELETE_ORACLE,
+        "equality_delete_orders": _EQUALITY_DELETE_ORACLE,
         "rebucket_orders": _REBUCKET_ORACLE,
         "ivm_orders_by_status": _IVM_ORACLE,
         "ingest_orders_roundtrip": _INGEST_ORACLE,
