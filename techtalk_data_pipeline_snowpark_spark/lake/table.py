@@ -781,7 +781,10 @@ class LakeTable:
         committed). The parquet's own schema names the anti-join columns —
         the read side never needs key plumbing. Returns rel paths."""
         staging = os.path.join(self.root, f".staging-edv-{uuid.uuid4().hex}")
-        keys.distinct().coalesce(1).write.mode("overwrite").parquet(staging)
+        # same fan-out as DV staging: edv files are re-read on every scan of
+        # their data files, so keep them few — but one writer would be a
+        # serial tail on a 10^8-key all-delete epoch.
+        keys.distinct().coalesce(8).write.mode("overwrite").parquet(staging)
         os.makedirs(os.path.join(self.root, DATA_DIR, "_edv"), exist_ok=True)
         rels: list[str] = []
         for fn in os.listdir(staging):
