@@ -159,6 +159,21 @@ def main():
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Host-noise probe: this machine's memory subsystem swings 2-3× between
+    # identical runs on string-heavy stages (documented in BENCH.md round 1).
+    # A fixed JVM-side string-hash workload, timed, makes each bench line
+    # NORMALIZABLE: compare runs via ratio-to-probe, not absolute seconds.
+    from pyspark.sql import functions as _PF
+
+    _p0 = time.time()
+    (
+        spark.range(0, 50_000_000)
+        .select(_PF.xxhash64(_PF.concat(_PF.lit("probe-"), _PF.col("id").cast("string"))).alias("h"))
+        .agg(_PF.sum("h"))
+        .collect()
+    )
+    host_probe_sec = round(time.time() - _p0, 3)
+
     import __spark_entry__ as entry_mod
 
     bench_queries = [
@@ -209,6 +224,7 @@ def main():
             "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
             "cdc_final_rows": cdc["final_rows"],
             "cpus": cpus,
+            "host_stringhash_probe_sec": host_probe_sec,
             "minhash_skewed_pairs": skew["minhash_skewed_pairs"],
             "minhash_bucket_stats": skew["minhash_bucket_stats"],
             "simhash_skewed_pairs": skew["simhash_skewed_pairs"],
