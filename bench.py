@@ -169,7 +169,7 @@ def main():
     (
         spark.range(0, 50_000_000)
         .select(_PF.xxhash64(_PF.concat(_PF.lit("probe-"), _PF.col("id").cast("string"))).alias("h"))
-        .agg(_PF.sum("h"))
+        .agg(_PF.count(_PF.when(_PF.col("h") % 2 == 0, 1)))
         .collect()
     )
     host_probe_sec = round(time.time() - _p0, 3)
