@@ -281,3 +281,30 @@ def test_equality_delete_empty_keyset_noop(spark, tmp_table_root):
     assert res.summary["keys_deleted"] == 0
     assert res.summary["files_affected"] == 0
     assert t.read().count() == 5
+
+
+def test_equality_delete_survives_key_widening(spark, tmp_table_root):
+    """An edv parquet written against an int key keeps filtering after the
+    key column widens to long (the anti-join coerces); re-inserted long
+    keys still survive the old delete."""
+    schema_int = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    schema_long = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    from techtalk_data_pipeline_snowpark_spark.lake import equality_delete_keys
+
+    t = LakeTable.create(spark, tmp_table_root, schema_int, key_cols=["k"], num_buckets=2)
+    t.append(spark.createDataFrame([(i, f"v{i}") for i in range(8)], schema_int))
+    equality_delete_keys(
+        t, spark.createDataFrame([(3,)], "k int"), ["k"]
+    )
+    t.commit_rewrite([], [], "evolve-schema", schema=schema_long)
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 4, 5, 6, 7]
+    # re-insert the deleted key under the WIDENED type: must survive, and
+    # bucket-hash normalization keeps it in the same bucket as the int era
+    t.append(spark.createDataFrame([(3, "reborn")], schema_long))
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert (3, "reborn") in got
+    assert len(got) == 8
