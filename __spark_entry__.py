@@ -130,11 +130,18 @@ def stream_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = _events_as_cdc_log(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="streamrep_")
     events_dir = os.path.join(root, "ev")
-    # LSN-ordered producer: range partitioning makes file k's LSNs all
-    # precede file k+1's (the WAL contract stream_replay documents)
-    log.repartitionByRange(4, "lsn").sortWithinPartitions("lsn").write.parquet(
-        events_dir
-    )
+    # LSN-ordered producer, landed SEQUENTIALLY: the file stream source
+    # orders by modification time, and a single parallel write of ordered
+    # ranges gives files mtimes in task-COMPLETION order — a later range
+    # could list first, and its epoch would advance the watermark past the
+    # earlier range (silently skipped). Four small append jobs in LSN order
+    # are exactly what a real WAL tail produces.
+    max_lsn = int(log.agg(F.max("lsn")).first()[0])
+    step = (max_lsn + 3) // 4 + 1
+    for i in range(4):
+        log.where(
+            (F.col("lsn") > i * step) & (F.col("lsn") <= (i + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(events_dir)
     eng = CdcEngine(
         spark, os.path.join(root, "state"), key_cols=("user_id",), num_buckets=8
     )

@@ -301,9 +301,12 @@ class CdcEngine:
         # actually bucketed. On mismatch (engine constructed with different
         # num_buckets/key order than an existing table) fall back to letting
         # merge_into derive pruning from the snapshot itself.
+        from ..lake.table import bucket_layout_trusted
+
         buckets_trusted = (
             snap0.num_buckets == self.num_buckets
             and list(snap0.key_cols) == list(self.key_cols)
+            and bucket_layout_trusted(snap0)
         )
 
         # Late materialization: winner (key, lsn, op) from a column-pruned
@@ -362,7 +365,14 @@ class CdcEngine:
         )
         partition_offsets = {str(r["_b"]): int(r["max_lsn"]) for r in stat_rows}
         if n_null_winners and self.quarantine_dir:
-            sliced.where(null_key).write.mode("append").parquet(self.quarantine_dir)
+            import os as _os
+
+            # one OVERWRITTEN subdir per epoch range: optimistic-commit
+            # retries and competing replayers re-land the SAME path instead
+            # of appending duplicates (read back with recursiveFileLookup)
+            sliced.where(null_key).write.mode("overwrite").parquet(
+                _os.path.join(self.quarantine_dir, f"epoch-{lsn_from}-{lsn_to}")
+            )
             ph.mark("quarantine-write")
 
         # Payload path: salted two-phase reduction for adversarial skew, or
@@ -377,6 +387,11 @@ class CdcEngine:
                 sliced, self.key_cols, winners,
                 broadcast=n_events <= self.broadcast_key_limit,
             )
+        # explicit null-key drop: the winners SEMI-JOIN drops them as a side
+        # effect, but the salted path (a pure groupBy) would carry them into
+        # the merge where the full-outer join can't match them — they'd
+        # materialize as garbage all-null rows. Uniform in both modes.
+        deduped_raw = deduped_raw.where(~null_key)
         dedup = self._transform(deduped_raw)
         ph.mark("plan-build")
 
@@ -388,6 +403,12 @@ class CdcEngine:
                     "cdc.manifest": json.dumps(
                         {"epoch_id": epoch_id, "lsn_from": lsn_from, "lsn_to": lsn_to,
                          "partition_offsets": {}, "lineage": lineage or {},
+                         # a 100%-malformed epoch must still report its
+                         # dead letters — this branch IS that epoch
+                         "null_key_winners": n_null_winners,
+                         "quarantined_to": (
+                             self.quarantine_dir if n_null_winners else None
+                         ),
                          "committed_at": time.time()}
                     ),
                 },
@@ -445,12 +466,15 @@ class CdcEngine:
                 "cdc.manifest": json.dumps(manifest),
             }
             tb = [int(b) for b in partition_offsets] if buckets_trusted else None
+            # null-key winners can't address a row — keep them out of the
+            # committed key set / position scan (and out of keys_deleted)
+            winners_ok = winners.where(~null_key)
             if self.all_delete_mode == "equality":
                 from ..lake.merge import equality_delete_keys
 
                 res = equality_delete_keys(
                     table,
-                    winners,
+                    winners_ok,
                     self.key_cols,
                     snap=snap_for_merge,
                     properties=props,
@@ -462,7 +486,7 @@ class CdcEngine:
 
                 res = mor_delete_keys(
                     table,
-                    winners,
+                    winners_ok,
                     self.key_cols,
                     snap=snap_for_merge,
                     properties=props,
@@ -531,9 +555,17 @@ class CdcEngine:
             cur = hi
             applied += 1
             if compact_every and applied % compact_every == 0:
-                self.table().compact(
-                    max_files_per_bucket=compact_max_files_per_bucket
-                )
+                from ..lake import ConcurrentCommitError
+
+                try:
+                    self.table().compact(
+                        max_files_per_bucket=compact_max_files_per_bucket
+                    )
+                except ConcurrentCommitError:
+                    # a rival committed between our snapshot and the compact
+                    # commit — maintenance is best-effort, the next cycle
+                    # (or the rival's own) compacts; never abort the replay
+                    pass
         return results
 
     # ------------------------------------------------------------- source

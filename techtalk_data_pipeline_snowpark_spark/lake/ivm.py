@@ -95,7 +95,13 @@ class IncrementalAggView:
         )
         aggs = [F.sum(sign).cast("long").alias("cnt")]
         for out, col in self.sum_cols.items():
-            aggs.append(F.sum(F.col(col) * sign).alias(out))
+            # NULL measures contribute 0 (not NULL): SQL SUM ignores nulls,
+            # but a delta whose every changed row is null-measured would
+            # aggregate to NULL and `t + NULL` would poison the maintained
+            # sum forever. (Consequence: a group whose measures are ALL
+            # null reads 0 here where SQL SUM reads NULL — the one
+            # documented divergence.)
+            aggs.append(F.sum(F.coalesce(F.col(col), F.lit(0)) * sign).alias(out))
         return ch.groupBy(*self.group_cols).agg(*aggs)
 
     def refresh(self, _retries: int = 5) -> dict:
@@ -113,13 +119,23 @@ class IncrementalAggView:
         last_err = None
         for _ in range(_retries):
             src_v = self.source.latest_version()
-            last = self.applied_source_version()
+            vt = self.table()
+            # ONE snapshot read serves both the stamp and the merge's
+            # version pin: reading the stamp from one snapshot and letting
+            # merge_into take a fresh one would let a rival commit land in
+            # between — the pin would then pass and the SAME delta would
+            # apply twice (doubled counts). Pinning to the snapshot the
+            # stamp came from turns that race into ConcurrentCommitError.
+            vsnap = None
+            last = 0
+            if vt.exists():
+                vsnap = vt.snapshot()
+                last = int(vsnap.properties.get(PROP_SOURCE_VERSION, 0))
             if src_v <= last:
                 return {"refreshed": False, "source_version": last}
             delta = self._delta(last, src_v)
-            vt = self.table()
             props = {PROP_SOURCE_VERSION: str(src_v)}
-            if not vt.exists():
+            if vsnap is None:
                 try:
                     vt = LakeTable.create(
                         self.spark,
@@ -130,6 +146,7 @@ class IncrementalAggView:
                     )
                 except (FileExistsError, ConcurrentCommitError):
                     continue  # rival created it — re-read the stamp
+                vsnap = vt.snapshot()
             agg_cols = ["cnt", *self.sum_cols.keys()]
             try:
                 res = merge_into(
@@ -142,6 +159,7 @@ class IncrementalAggView:
                     when_matched_delete=(F.col("t.cnt") + F.col("s.cnt")) == 0,
                     when_not_matched_insert=F.col("s.cnt") > 0,
                     properties=props,
+                    snap=vsnap,
                 )
             except ConcurrentCommitError as e:
                 last_err = e

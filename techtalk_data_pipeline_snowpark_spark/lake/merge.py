@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .table import CommitResult, LakeTable, bucket_expr
+from .table import CommitResult, LakeTable, bucket_expr, bucket_layout_trusted
 
 
 def _touched_buckets(source: DataFrame, key_cols: list[str], n: int) -> list[int]:
@@ -148,7 +148,10 @@ def merge_into(
     # matches for any other key set (or an expression ON) may live in any
     # bucket.
     can_prune = (
-        on_expr is None and bool(snap.num_buckets) and list(keys) == list(snap.key_cols)
+        on_expr is None
+        and bool(snap.num_buckets)
+        and list(keys) == list(snap.key_cols)
+        and bucket_layout_trusted(snap)
     )
     if can_prune:
         # callers that already aggregated per-bucket stats (the CDC engine's
@@ -405,7 +408,11 @@ def mor_delete_keys(
     absorbs the DVs later, off the ingest latency path.
     """
     snap = snap if snap is not None else table.snapshot()
-    can_prune = bool(snap.num_buckets) and list(keys) == list(snap.key_cols)
+    can_prune = (
+        bool(snap.num_buckets)
+        and list(keys) == list(snap.key_cols)
+        and bucket_layout_trusted(snap)
+    )
     if can_prune:
         buckets = (
             sorted(touched_buckets)
@@ -470,7 +477,11 @@ def equality_delete_keys(
 
     snap = snap if snap is not None else table.snapshot()
     sk = source_keys.select(*keys).distinct()
-    can_prune = bool(snap.num_buckets) and list(keys) == list(snap.key_cols)
+    can_prune = (
+        bool(snap.num_buckets)
+        and list(keys) == list(snap.key_cols)
+        and bucket_layout_trusted(snap)
+    )
     if can_prune:
         buckets = (
             sorted(touched_buckets)

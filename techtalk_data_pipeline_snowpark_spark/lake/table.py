@@ -56,6 +56,35 @@ DATA_DIR = "data"
 CHECKPOINT_EVERY = 16
 
 
+PROP_BUCKET_HASH = "lake.bucket_hash"
+BUCKET_HASH_V2 = "long-normalized"
+
+_NUMERIC_KEY_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+)
+
+
+def bucket_layout_trusted(snap) -> bool:
+    """True iff the snapshot's recorded per-file bucket ids agree with what
+    ``bucket_expr`` computes TODAY. Tables created since hash normalization
+    carry the layout stamp; unstamped (older) tables are only trusted when
+    no key column is numeric (string/date keys hash identically under both
+    layouts). Untrusted layout ⇒ callers must skip bucket pruning (full
+    file set — correct, just slower); ``rebucket()`` rewrites and stamps,
+    which is the migration path."""
+    if snap.properties.get(PROP_BUCKET_HASH) == BUCKET_HASH_V2:
+        return True
+    by = {f.name.lower(): f.dataType for f in snap.schema.fields}
+    return not any(
+        isinstance(by.get(k.lower()), _NUMERIC_KEY_TYPES) for k in snap.key_cols
+    )
+
+
 def bucket_expr(key_cols: list[str], num_buckets: int, schema: T.StructType | None = None):
     """Deterministic bucket id: pmod(murmur3(keys), N) — matches what any
     executor computes, so bucket pruning in MERGE is exact.
@@ -138,7 +167,10 @@ class LakeTable:
                 "num_buckets": num_buckets,
                 "add": [],
                 "remove": [],
-                "properties": properties or {},
+                # layout stamp: this table's file bucket ids were computed
+                # under the normalized hash (integral keys AS LONG) — see
+                # bucket_layout_trusted
+                "properties": {**(properties or {}), PROP_BUCKET_HASH: BUCKET_HASH_V2},
                 "summary": {},
             },
             expected_version=1,
@@ -565,11 +597,14 @@ class LakeTable:
                 affected = sorted(e["edv"].keys())
                 edv_new = sorted({d for ds in e["edv"].values() for d in ds})
                 rows = self._read_files(affected, schema, files_meta=prev.files)
-                keys = spark.read.parquet(
+                # NB: do not shadow `keys` (the key-col NAME list) — later
+                # rewrite entries in this same range still classify
+                # updates/inserts with it
+                ekeys = spark.read.parquet(
                     *[os.path.join(self.root, r) for r in edv_new]
                 ).distinct()
                 deleted = rows.join(
-                    keys, on=list(keys.columns), how="left_semi"
+                    ekeys, on=list(ekeys.columns), how="left_semi"
                 ).select(*[F.col(f.name) for f in schema.fields])
                 pieces.append(_tag(deleted, "delete", v))
                 continue
@@ -984,6 +1019,9 @@ class LakeTable:
             adds=adds,
             removes=list(snap.files),
             operation="rebucket",
+            # full rewrite under today's hash ⇒ the layout is now stamped
+            # trusted (also the migration path for pre-normalization tables)
+            properties={PROP_BUCKET_HASH: BUCKET_HASH_V2},
             summary={
                 "rebucketed": True,
                 "num_buckets_before": snap.num_buckets,

@@ -58,9 +58,18 @@ def stream_replay(
     """Tail ``events_dir`` (parquet files of change events) and merge each
     micro-batch through the engine. Returns the StreamingQuery.
 
-    ``max_files_per_trigger`` bounds each micro-batch's file count (the
-    file source lists in path order for same-mtime files, so an
-    LSN-ordered producer yields LSN-ordered batches)."""
+    ``max_files_per_trigger`` bounds each micro-batch's file count.
+
+    ORDERING CONTRACT (binding on the producer): the file source orders
+    files by MODIFICATION TIME (path breaks ties), so files must land with
+    mtimes in LSN order — which is what a real WAL tail does (sequential
+    appends). A parallel bulk write of pre-split ranges does NOT satisfy
+    this (part files get mtimes in task-completion order): a later range
+    listed first would advance the engine watermark past an earlier range,
+    and the earlier batch would be skipped as already-applied. Land ranges
+    with sequential writes, or drain the whole backlog in one batch
+    (``max_files_per_trigger=None``), where order inside the batch is
+    irrelevant (the max-LSN dedup arbitrates)."""
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

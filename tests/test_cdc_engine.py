@@ -615,10 +615,59 @@ def test_null_key_events_quarantined_and_counted(spark, tmp_path):
     m = eng.manifests()[-1]
     assert m["null_key_winners"] == 3
     assert m["quarantined_to"] == qdir
-    quarantined = spark.read.parquet(qdir)
-    assert {r.lsn for r in quarantined.collect()} == {2, 3, 4}
+
+    def read_q():
+        return spark.read.option("recursiveFileLookup", "true").parquet(qdir)
+
+    assert {r.lsn for r in read_q().collect()} == {2, 3, 4}
+    # duplicate delivery of the same epoch must NOT duplicate the dead
+    # letters (per-epoch overwrite path, watermark skip)
+    again = eng.replay(ev, max_lsn=5, epoch_size=10**9)
+    assert all(r.skipped for r in again)
+    assert read_q().count() == 3
     # a clean epoch records zero and does not touch the quarantine
     ev2 = spark.createDataFrame([(6, "upsert", "r", "e", "v")], sch)
     eng.replay(ev.unionByName(ev2), max_lsn=6, epoch_size=10**9)
     assert eng.manifests()[-1]["null_key_winners"] == 0
-    assert spark.read.parquet(qdir).count() == 3
+    assert read_q().count() == 3
+    # a 100%-malformed epoch commits the empty-epoch manifest WITH the
+    # dead-letter fields (review finding: they were dropped on this branch)
+    ev3 = spark.createDataFrame(
+        [(7, "upsert", None, None, "junk"), (8, "delete", None, "x", None)], sch
+    )
+    res3 = eng.replay(ev.unionByName(ev2).unionByName(ev3), max_lsn=8,
+                      epoch_size=10**9)[0]
+    assert res3.events == 0
+    m3 = eng.manifests()[-1]
+    assert m3["null_key_winners"] == 2
+    assert m3["quarantined_to"] == qdir
+    assert read_q().count() == 5
+
+
+def test_salted_mode_drops_null_key_events(spark, tmp_path):
+    """Salted dedup is a pure groupBy (no semi-join side effect), so the
+    explicit null-key drop is what keeps garbage all-null rows out of the
+    merge (review finding)."""
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, "upsert", "r", "a", "x"),
+        (2, "upsert", None, "b", "y"),
+        (3, "upsert", "r", None, "z"),
+    ]
+    ev = spark.createDataFrame(rows, sch)
+    eng = CdcEngine(spark, str(tmp_path / "t"), key_cols=("repo", "path"),
+                    num_buckets=2, salted=True)
+    res = eng.replay(ev, max_lsn=3, epoch_size=10**9)[0]
+    assert res.events == 1
+    got = [(r.repo, r.path) for r in eng.read_state().collect()]
+    assert got == [("r", "a")]  # no all-null or partial-null rows

@@ -308,3 +308,21 @@ def test_equality_delete_survives_key_widening(spark, tmp_table_root):
     got = {(r.k, r.v) for r in t.read().collect()}
     assert (3, "reborn") in got
     assert len(got) == 8
+
+
+def test_changelog_spans_equality_delete_then_merge(spark, tmp_table_root):
+    """A changelog range containing an equality-delete commit FOLLOWED by a
+    normal rewrite commit must classify the later commit's updates/inserts
+    correctly (review finding: the edv branch shadowed the key-name list
+    and crashed every later iteration)."""
+    from techtalk_data_pipeline_snowpark_spark.lake import equality_delete_keys
+
+    t = _mk(spark, tmp_table_root, n=10)
+    v0 = t.latest_version()
+    equality_delete_keys(t, spark.createDataFrame([Row(k=1)]), ["k"])
+    merge_into(
+        t, _df(spark, [(2, "updated"), (99, "new")]),
+        on=["k"], when_matched_update="all",
+    )
+    ch = {(r.k, r._change_type) for r in t.read_changelog(v0).collect()}
+    assert ch == {(1, "delete"), (2, "update_postimage"), (99, "insert")}

@@ -204,3 +204,29 @@ def test_ivm_competing_refreshers_converge(spark, tmp_table_root):
     delete(t, F.col("repo") == "r0")
     view.refresh()
     assert _view_state(view) == _recompute(t)
+
+
+def test_ivm_null_measures_do_not_poison_sums(spark, tmp_table_root):
+    """A delta whose measures are NULL must not null the maintained sum
+    (review finding: SUM over an all-null group is NULL and t+NULL
+    propagates forever). Maintained sums treat NULL as 0."""
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    view = IncrementalAggView(
+        spark, t, tmp_table_root + "/view", group_cols=["repo"], sum_cols={"total": "size"}
+    )
+    t.append(_df(spark, [("a", "1", 100)]))
+    view.refresh()
+    # append a NULL-measured row for the same group
+    t.append(
+        spark.createDataFrame([Row(repo="a", path="2", size=None)], SCHEMA)
+    )
+    view.refresh()
+    got = {(r.repo, r.cnt, r.total) for r in view.read().collect()}
+    assert got == {("a", 2, 100)}
+    # delete the null-measured row: sum unchanged, count drops
+    delete(t, F.col("path") == "2")
+    view.refresh()
+    got = {(r.repo, r.cnt, r.total) for r in view.read().collect()}
+    assert got == {("a", 1, 100)}
