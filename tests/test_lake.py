@@ -497,3 +497,25 @@ def test_rebucket_requires_keys(spark, tmp_table_root):
     t.append(_df(spark, [("a", "b", "c")]))
     with pytest.raises(ValueError):
         t.rebucket(4)
+
+
+def test_bucket_layout_trust_rules(spark):
+    """Unstamped (pre-normalization) tables are trusted only when no key
+    column is numeric — string keys hash identically under both layouts;
+    numeric keys would mis-prune, so callers must fall back to full scans."""
+    from techtalk_data_pipeline_snowpark_spark.lake.table import (
+        BUCKET_HASH_V2,
+        PROP_BUCKET_HASH,
+        Snapshot,
+        bucket_layout_trusted,
+    )
+
+    str_schema = T.StructType([T.StructField("k", T.StringType())])
+    int_schema = T.StructType([T.StructField("k", T.IntegerType())])
+
+    def snap(schema, props):
+        return Snapshot(1, schema, {}, ["k"], 4, props)
+
+    assert bucket_layout_trusted(snap(str_schema, {}))          # strings safe
+    assert not bucket_layout_trusted(snap(int_schema, {}))      # numeric unsafe
+    assert bucket_layout_trusted(snap(int_schema, {PROP_BUCKET_HASH: BUCKET_HASH_V2}))
