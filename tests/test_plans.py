@@ -173,3 +173,36 @@ def test_payload_single_shuffle_in_non_broadcast_mode(spark):
     winners = winner_keys(ev, ["repo", "path"])
     dedup = dedup_latest_via_winners(ev, ["repo", "path"], winners, broadcast=False)
     assert column_shuffle_count(dedup, "content") == 1
+
+
+def test_ivm_delta_has_partial_aggregation(spark, tmp_path):
+    """The IVM delta (changelog → signed groupBy) must carry map-side
+    partial aggregation: at scale the changed-row set collapses per group
+    BEFORE the shuffle, so a refresh costs the delta, not the group count."""
+    from pyspark.sql import Row, types as T
+
+    from techtalk_data_pipeline_snowpark_spark.lake import (
+        IncrementalAggView,
+        LakeTable,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("size", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "src"), schema, key_cols=["repo", "path"], num_buckets=2
+    )
+    t.append(
+        spark.createDataFrame(
+            [Row(repo=f"r{i % 3}", path=f"p{i}", size=i) for i in range(12)], schema
+        )
+    )
+    view = IncrementalAggView(
+        spark, t, str(tmp_path / "view"), group_cols=["repo"], sum_cols={"total": "size"}
+    )
+    delta = view._delta(0, t.latest_version())
+    assert has_partial_aggregation(delta)
