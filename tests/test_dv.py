@@ -326,3 +326,37 @@ def test_changelog_spans_equality_delete_then_merge(spark, tmp_table_root):
     )
     ch = {(r.k, r._change_type) for r in t.read_changelog(v0).collect()}
     assert ch == {(1, "delete"), (2, "update_postimage"), (99, "insert")}
+
+
+def test_dv_edv_refs_survive_checkpoint(spark, tmp_table_root):
+    """Snapshot checkpoints must carry positional-DV and equality-delete
+    refs: a snapshot rebuilt FROM a checkpoint (log replay skipped) has to
+    keep filtering the dead rows."""
+    import glob
+    import os
+
+    from techtalk_data_pipeline_snowpark_spark.lake import equality_delete_keys
+
+    t = _mk(spark, tmp_table_root, n=12, buckets=2)
+    delete(t, F.col("k") == 2, mode="mor")
+    equality_delete_keys(t, spark.createDataFrame([Row(k=5)]), ["k"])
+    # push past the checkpoint cadence (every 16 commits)
+    for i in range(16):
+        t.append(_df(spark, [(100 + i, f"x{i}")]))
+    assert t._available_checkpoints(), "expected a checkpoint to exist"
+    snap_cp = t.snapshot()
+    assert any(m.get("dv") for m in snap_cp.files.values())
+    assert any(m.get("edv") for m in snap_cp.files.values())
+    live = sorted(r.k for r in t.read().collect())
+    assert 2 not in live and 5 not in live and 100 in live
+    # force a full log replay (checkpoints hidden) — must agree exactly
+    hidden = []
+    for p in glob.glob(os.path.join(tmp_table_root, "_log", "*.checkpoint.json")):
+        os.rename(p, p + ".hidden")
+        hidden.append(p)
+    try:
+        snap_full = t.snapshot()
+        assert snap_cp.files == snap_full.files
+    finally:
+        for p in hidden:
+            os.rename(p + ".hidden", p)
