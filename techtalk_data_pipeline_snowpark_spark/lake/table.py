@@ -620,7 +620,17 @@ class LakeTable:
             prev_meta = None
             if removes and dv_possible:
                 prev_meta = self.snapshot(v - 1).files
-                if not any((prev_meta.get(p, {}) or {}).get("dv") for p in removes):
+                # Both positional DVs AND equality-delete refs ('edv') make
+                # the pre-image narrower than the raw files: a rewrite that
+                # removes a file carrying only equality deletes would
+                # otherwise read its already-dead rows unfiltered and emit
+                # them as spurious duplicate deletes at the rewrite version
+                # (changelog consumers like IVM would double-decrement).
+                if not any(
+                    (prev_meta.get(p, {}) or {}).get("dv")
+                    or (prev_meta.get(p, {}) or {}).get("edv")
+                    for p in removes
+                ):
                     prev_meta = None
             old_rows = self._read_files(removes, schema, files_meta=prev_meta)
             changed = new_rows.exceptAll(old_rows)

@@ -324,8 +324,18 @@ def test_changelog_spans_equality_delete_then_merge(spark, tmp_table_root):
         t, _df(spark, [(2, "updated"), (99, "new")]),
         on=["k"], when_matched_update="all",
     )
-    ch = {(r.k, r._change_type) for r in t.read_changelog(v0).collect()}
-    assert ch == {(1, "delete"), (2, "update_postimage"), (99, "insert")}
+    rows = t.read_changelog(v0).collect()
+    ch = sorted((r.k, r._change_type, r._commit_version) for r in rows)
+    # MULTISET assertion including version: a set of (k, type) tuples would
+    # collapse the spurious duplicate (1, 'delete') that the un-narrowed
+    # pre-image bug emitted at the merge's rewrite version (rows already
+    # killed by the equality delete resurrecting as deletes again).
+    assert ch == [
+        (1, "delete", v0 + 1),
+        (2, "update_postimage", v0 + 2),
+        (99, "insert", v0 + 2),
+    ]
+    assert sum(1 for k, typ, _ in ch if k == 1 and typ == "delete") == 1
 
 
 def test_dv_edv_refs_survive_checkpoint(spark, tmp_table_root):

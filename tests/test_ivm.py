@@ -230,3 +230,34 @@ def test_ivm_null_measures_do_not_poison_sums(spark, tmp_table_root):
     view.refresh()
     got = {(r.repo, r.cnt, r.total) for r in view.read().collect()}
     assert got == {("a", 1, 100)}
+
+
+def test_ivm_survives_equality_delete_then_rewrite(spark, tmp_table_root):
+    """Regression for the changelog edv-narrowing bug: a rewrite (merge)
+    that removes files carrying only EQUALITY-delete refs must not
+    resurrect the already-dead rows as duplicate 'delete' changelog rows —
+    an IVM consumer would double-decrement and silently drift (negative
+    cnt / wrong sums)."""
+    from techtalk_data_pipeline_snowpark_spark.lake import equality_delete_keys
+
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    view = IncrementalAggView(
+        spark, t, tmp_table_root + "/view", group_cols=["repo"],
+        sum_cols={"total": "size"},
+    )
+    t.append(_df(spark, [("a", f"p{i}", 10) for i in range(4)]))
+    view.refresh()
+    assert _view_state(view) == _recompute(t)
+    # equality-delete one key, then a merge on OTHER keys rewrites the
+    # same files — exactly the double-delete sequence
+    equality_delete_keys(
+        t, spark.createDataFrame([Row(repo="a", path="p1")]), ["repo", "path"]
+    )
+    merge_into(
+        t, _df(spark, [("a", "p2", 99), ("a", "pX", 5)]),
+        on=["repo", "path"], when_matched_update="all",
+    )
+    view.refresh()
+    assert _view_state(view) == _recompute(t) == {("a", 4, 124)}
