@@ -124,9 +124,10 @@ def main():
     # ALTERNATED legs: this host's throughput drifts 1.5-3× on a scale of
     # minutes (BENCH.md), so an N leg and a 4N leg measured half an hour
     # apart can see different machines — the ratio is only meaningful
-    # within adjacent legs. Run N,4N,N,4N and report the per-pair
-    # efficiencies plus their median; the envelope point (4x2) last.
-    legs = [(1, 1), (4, 1), (1, 1), (4, 1), (4, 2)]
+    # within adjacent legs. Run THREE N,4N pairs so the reported median is
+    # a true middle element (two pairs made [len//2] the MAX — review
+    # finding); the envelope point (4x2) last.
+    legs = [(1, 1), (4, 1), (1, 1), (4, 1), (1, 1), (4, 1), (4, 2)]
     runs = []
     results = {}
     for i, (n_exec, cores) in enumerate(legs):
@@ -141,12 +142,15 @@ def main():
               f"{m['lsns_per_sec']} ev/s, rows={m['final_rows']}")
     clean_shm()
     pair_effs = []
-    for a in range(0, 4, 2):
+    for a in range(0, len(legs) - 1, 2):
         ev_n = runs[a][1]["lsns_per_sec"]
         ev_4n = runs[a + 1][1]["lsns_per_sec"]
         pair_effs.append(round((ev_4n / ev_n) / 4, 3))
+    eff_sorted = sorted(pair_effs)
+    eff_median = eff_sorted[len(eff_sorted) // 2]  # true middle of 3 pairs
+    eff_mean = round(sum(pair_effs) / len(pair_effs), 3)
     print(f"adjacent-pair efficiencies: {pair_effs} "
-          f"(median {sorted(pair_effs)[len(pair_effs)//2]})")
+          f"(median {eff_median}, mean {eff_mean}, min {eff_sorted[0]})")
 
     probe = run_compute_probe()
     print(f"compute probe: local[8]={probe['local8_sec']}s "
@@ -160,7 +164,9 @@ def main():
                                       "rows": v["final_rows"]}
                    for k, v in results.items()},
         "pairwise_efficiency_n_to_4n": pair_effs,
-        "end_to_end_efficiency_n_to_4n": sorted(pair_effs)[len(pair_effs) // 2],
+        "end_to_end_efficiency_n_to_4n": eff_median,
+        "efficiency_mean": eff_mean,
+        "efficiency_min": eff_sorted[0],
         "beyond_envelope_4x2_ev_per_sec": results[(4, 2)]["lsns_per_sec"],
         "same_final_state": len(
             {m["final_rows"] for _, m in runs}

@@ -367,11 +367,15 @@ class CdcEngine:
         if n_null_winners and self.quarantine_dir:
             import os as _os
 
-            # one OVERWRITTEN subdir per epoch range: optimistic-commit
-            # retries and competing replayers re-land the SAME path instead
-            # of appending duplicates (read back with recursiveFileLookup)
+            # one OVERWRITTEN subdir per epoch, named by lsn_to ONLY:
+            # _apply_epoch_once narrows lsn_from to max(lsn_from, applied),
+            # so a name that included lsn_from would differ across an
+            # overlapping redelivery of the same producer range (streaming
+            # restart, competing replayer) and dead letters would duplicate
+            # across dirs (review finding). lsn_to is stable across
+            # narrowing and retries of the same epoch boundary.
             sliced.where(null_key).write.mode("overwrite").parquet(
-                _os.path.join(self.quarantine_dir, f"epoch-{lsn_from}-{lsn_to}")
+                _os.path.join(self.quarantine_dir, f"epoch-{lsn_to}")
             )
             ph.mark("quarantine-write")
 
@@ -581,6 +585,103 @@ class CdcEngine:
                 d["summary"] = e.get("summary", {})
                 out.append(d)
         return out
+
+    # --------------------------------------------------- quarantine lifecycle
+    def quarantined_epochs(self) -> list[str]:
+        """Dead-letter subdirs (``epoch-<lsn_to>``) awaiting repair, oldest
+        first (by the lsn_to embedded in the name)."""
+        import os as _os
+
+        if not self.quarantine_dir or not _os.path.isdir(self.quarantine_dir):
+            return []
+        dirs = [
+            d for d in _os.listdir(self.quarantine_dir)
+            if d.startswith("epoch-")
+            and _os.path.isdir(_os.path.join(self.quarantine_dir, d))
+        ]
+        return sorted(dirs, key=lambda d: int(d.rsplit("-", 1)[-1]))
+
+    def replay_quarantined(self, fix_fn, prune: bool = True) -> list[EpochResult]:
+        """Re-ingest repaired dead letters through the NORMAL epoch path.
+
+        ``fix_fn(df) -> df`` repairs the quarantined raw events (same schema
+        as the source stream — typically filling the null key columns).
+        Repaired events are assigned fresh LSNs above the current watermark
+        (relative order preserved, so a later fix of the same key still
+        wins dedup) and applied as ordinary epochs: same dedup, transforms,
+        MERGE, manifest, and exactly-once machinery.
+
+        Exactly-once across crashes: each replayed dir is stamped into its
+        epoch manifest's lineage (``quarantine_replay``); a re-run that
+        finds the stamp already committed only prunes the dir. Rows the fix
+        leaves still null-keyed simply re-quarantine under the new epoch's
+        name — nothing is lost, nothing double-applies.
+
+        Scale note: the LSN remap is a row_number over a single-partition
+        window — bounded by the dead-letter set, which is tiny by
+        definition (it is the MALFORMED tail, not the stream).
+        """
+        import os as _os
+        import shutil as _shutil
+
+        from pyspark.sql import Window
+
+        results: list[EpochResult] = []
+        done = {
+            m.get("lineage", {}).get("quarantine_replay")
+            for m in self.manifests()
+        }
+        for d in self.quarantined_epochs():
+            path = _os.path.join(self.quarantine_dir, d)
+            if d in done:
+                if prune:
+                    _shutil.rmtree(path, ignore_errors=True)
+                continue
+            raw = self.spark.read.parquet(path)
+            fixed = fix_fn(raw)
+            watermark = self.last_lsn()
+            w = Window.orderBy("lsn", *self.key_cols)
+            ev = fixed.withColumn(
+                "lsn", (F.lit(watermark) + F.row_number().over(w)).cast("long")
+            )
+            n = ev.count()
+            if n == 0:
+                if prune:
+                    _shutil.rmtree(path, ignore_errors=True)
+                continue
+            res = self.apply_epoch(
+                ev, watermark, watermark + n,
+                lineage={"quarantine_replay": d, "quarantine_path": path},
+            )
+            results.append(res)
+            if prune:
+                _shutil.rmtree(path, ignore_errors=True)
+        return results
+
+    def vacuum_quarantine(self, older_than_sec: float) -> list[str]:
+        """Retention pruning for the dead-letter channel: remove quarantine
+        subdirs whose newest file is older than ``older_than_sec`` — the
+        long-tail bound for upstreams with persistent corruption nobody
+        repairs. Returns the removed dir names."""
+        import os as _os
+        import shutil as _shutil
+
+        removed = []
+        now = time.time()
+        for d in self.quarantined_epochs():
+            path = _os.path.join(self.quarantine_dir, d)
+            newest = max(
+                (
+                    _os.path.getmtime(_os.path.join(r, f))
+                    for r, _, fs in _os.walk(path)
+                    for f in fs
+                ),
+                default=_os.path.getmtime(path),
+            )
+            if now - newest > older_than_sec:
+                _shutil.rmtree(path, ignore_errors=True)
+                removed.append(d)
+        return removed
 
 
 def merge_projected_update_row(schema: T.StructType, source_cols: set[str]):

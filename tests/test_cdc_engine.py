@@ -671,3 +671,112 @@ def test_salted_mode_drops_null_key_events(spark, tmp_path):
     assert res.events == 1
     got = [(r.repo, r.path) for r in eng.read_state().collect()]
     assert got == [("r", "a")]  # no all-null or partial-null rows
+
+
+def test_quarantine_dir_stable_across_narrowed_redelivery(spark, tmp_path):
+    """The dead-letter subdir is named by lsn_to ONLY: _apply_epoch_once
+    narrows lsn_from to the applied watermark, so an overlapping
+    redelivery of the same producer range must land on the SAME path
+    (overwrite) instead of duplicating dead letters across two dirs
+    (review finding)."""
+    import os
+
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, "upsert", "r", "a", "x"),
+            (2, "upsert", None, "b", "y"),  # dead letter
+            (3, "upsert", "r", "c", "z"),
+        ],
+        sch,
+    )
+    qdir = str(tmp_path / "q")
+    eng = CdcEngine(
+        spark, str(tmp_path / "t"), key_cols=("repo", "path"), num_buckets=2,
+        quarantine_dir=qdir,
+    )
+    eng.replay(ev, max_lsn=2, epoch_size=2)  # epoch (0,2] quarantines lsn=2
+    assert eng.quarantined_epochs() == ["epoch-2"]
+    # overlapping redelivery of the producer range (0,2] after watermark=2:
+    # skipped by the watermark; no new dir, no duplicates
+    eng.replay(ev, max_lsn=2, epoch_size=2)
+    assert eng.quarantined_epochs() == ["epoch-2"]
+    # a WIDER producer range (0,3] narrows lsn_from to 2 internally —
+    # the dead letter from the earlier boundary stays in its own dir and
+    # this epoch has none
+    eng.replay(ev, max_lsn=3, epoch_size=3)
+    assert eng.quarantined_epochs() == ["epoch-2"]
+    q = spark.read.parquet(os.path.join(qdir, "epoch-2"))
+    assert [r.lsn for r in q.collect()] == [2]
+
+
+def test_replay_quarantined_roundtrip_and_vacuum(spark, tmp_path):
+    """Round trip: malformed epoch → quarantine → fix keys →
+    replay_quarantined → table state is exactly what a clean stream would
+    have produced; dir pruned after success; idempotent across re-runs;
+    vacuum_quarantine prunes abandoned dirs."""
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    dirty = spark.createDataFrame(
+        [
+            (1, "upsert", "r", "a", "x"),
+            (2, "upsert", None, "b", "stale-b"),   # key lost upstream
+            (3, "upsert", None, "b", "fresh-b"),   # later version, also lost
+            (4, "delete", None, "a", None),        # delete with lost key
+            (5, "upsert", "r", "c", "z"),
+        ],
+        sch,
+    )
+    qdir = str(tmp_path / "q")
+    eng = CdcEngine(
+        spark, str(tmp_path / "t"), key_cols=("repo", "path"), num_buckets=2,
+        quarantine_dir=qdir,
+    )
+    eng.replay(dirty, max_lsn=5, epoch_size=10**9)
+    assert {(r.repo, r.path) for r in eng.read_state().collect()} == {
+        ("r", "a"), ("r", "c")
+    }
+    assert eng.quarantined_epochs() == ["epoch-5"]
+
+    def fix(df):  # the lost key was 'r' — restore it
+        return df.withColumn("repo", F.coalesce(F.col("repo"), F.lit("r")))
+
+    results = eng.replay_quarantined(fix)
+    assert len(results) == 1 and results[0].events == 2  # dedup: b wins once, a deleted
+    state = {(r.repo, r.path, r.content) for r in eng.read_state().collect()}
+    # = the state a clean stream (1..5 with keys intact) would produce:
+    # 'a' deleted by lsn 4, 'b' at its latest content, 'c' present
+    # (content passes the SAME canonicalization as any other epoch)
+    assert state == {("r", "b", "fresh-b\n"), ("r", "c", "z\n")}
+    assert eng.quarantined_epochs() == []           # pruned after success
+    assert eng.replay_quarantined(fix) == []        # idempotent
+    m = eng.manifests()[-1]
+    assert m["lineage"]["quarantine_replay"] == "epoch-5"
+
+    # vacuum: an abandoned dir older than the grace period is reclaimed
+    # (lsn 50 > the watermark the quarantine replay advanced to)
+    more = spark.createDataFrame([(50, "upsert", None, "d", "w")], sch)
+    eng.replay(dirty.unionByName(more), max_lsn=50, epoch_size=10**9)
+    assert eng.quarantined_epochs() == ["epoch-50"]
+    assert eng.vacuum_quarantine(older_than_sec=10**6) == []   # too young
+    assert eng.vacuum_quarantine(older_than_sec=-1) == ["epoch-50"]
+    assert eng.quarantined_epochs() == []
