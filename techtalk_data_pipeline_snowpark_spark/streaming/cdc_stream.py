@@ -31,6 +31,32 @@ from pyspark.sql import types as T
 
 from ..cdc.engine import CdcEngine
 
+class OrderingViolationError(RuntimeError):
+    """A micro-batch's LSN range is at or below the engine watermark but no
+    committed epoch manifest covers it — the producer broke the
+    files-land-in-LSN-order contract (e.g. mtime ties on a coarse-grained
+    filesystem listed a later range first) and the events would otherwise
+    be dropped SILENTLY as 'already applied'."""
+
+
+def _range_covered(engine: CdcEngine, lo_excl: int, hi: int) -> bool:
+    """True iff the union of committed epoch manifests' (lsn_from, lsn_to]
+    intervals covers (lo_excl, hi]. Driver-side over the commit log — only
+    consulted for the rare skipped/straddling batch, never per healthy
+    batch."""
+    ivals = sorted(
+        (int(m["lsn_from"]), int(m["lsn_to"])) for m in engine.manifests()
+    )
+    cur = lo_excl
+    for a, b in ivals:
+        if a > cur:
+            break  # gap below cur stays a gap (intervals are sorted)
+        cur = max(cur, b)
+        if cur >= hi:
+            return True
+    return cur >= hi
+
+
 CHANGE_EVENT_SCHEMA = T.StructType(
     [
         T.StructField("lsn", T.LongType()),
@@ -82,9 +108,32 @@ def stream_replay(
         lo, hi = batch_df.agg(
             F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
         ).first()
+        lo, hi = int(lo), int(hi)
+        # RUNTIME DETECTION of a broken ordering contract (review finding:
+        # the contract was documented but a violation dropped events with
+        # no error). A batch at/under the watermark is legitimate ONLY if
+        # committed manifests actually cover its range (crash redelivery);
+        # if a later range was listed first (coarse mtime ties), the
+        # skipped range has a coverage gap — fail loudly instead.
+        last = engine.last_lsn()
+        if hi <= last and not _range_covered(engine, lo - 1, hi):
+            raise OrderingViolationError(
+                f"batch {batch_id} range ({lo},{hi}] is below the engine "
+                f"watermark {last} but no committed epoch covers it — the "
+                "producer landed files out of LSN order (see the ordering "
+                "contract in stream_replay's docstring); events would be "
+                "silently dropped"
+            )
+        if lo <= last < hi and not _range_covered(engine, lo - 1, last):
+            raise OrderingViolationError(
+                f"batch {batch_id} range ({lo},{hi}] straddles the engine "
+                f"watermark {last} but the prefix ({lo},{last}] was never "
+                "committed — out-of-order production; the prefix would be "
+                "silently dropped by watermark narrowing"
+            )
         # epoch = this batch's LSN range; the manifest makes replays no-ops.
         engine.apply_epoch(
-            batch_df, int(lo) - 1, int(hi),
+            batch_df, lo - 1, hi,
             lineage={"streaming_batch_id": batch_id, "source_dir": events_dir},
         )
 

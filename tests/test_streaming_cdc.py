@@ -60,3 +60,46 @@ def test_sample_pipeline_dag(spark, tmp_path):
     assert "dq" in results and "amex" in results and "top" in results
     assert results["top"] > 0  # top-restaurants view materialized
     assert spark.table("top_restaurants_last_30_days").count() == results["top"]
+
+
+def test_out_of_order_file_landing_fails_loudly(spark, tmp_path):
+    """Ordering-contract violation detection (review finding): the file
+    source lists by mtime, so if a LATER LSN range lands with an earlier
+    mtime (coarse-granularity tie broken wrong / parallel bulk write), the
+    engine watermark advances past the earlier range and its events would
+    be dropped silently. stream_replay must raise instead."""
+    import glob
+    import time as _time
+
+    import pytest
+
+    from techtalk_data_pipeline_snowpark_spark.streaming.cdc_stream import (
+        OrderingViolationError,
+    )
+
+    ev = change_events(spark, 400, n_repos=4, paths_per_repo=6, seed=7)
+    events_dir = str(tmp_path / "events")
+    # land range (201,400] FIRST (older mtime), (1,200] second — the
+    # inverse of LSN order
+    (ev.where(F.col("lsn") > 200).coalesce(1)
+       .write.mode("append").parquet(events_dir))
+    _time.sleep(1.1)  # defeat mtime-granularity ties deterministically
+    (ev.where(F.col("lsn") <= 200).coalesce(1)
+       .write.mode("append").parquet(events_dir))
+    # pin mtimes explicitly: later-range files strictly older
+    parts = sorted(glob.glob(os.path.join(events_dir, "part-*")),
+                   key=os.path.getmtime)
+    now = _time.time()
+    os.utime(parts[0], (now - 100, now - 100))
+    os.utime(parts[1], (now - 50, now - 50))
+
+    eng = CdcEngine(spark, str(tmp_path / "state"), num_buckets=4)
+    q = stream_replay(
+        spark, events_dir, str(tmp_path / "ckpt"), eng,
+        available_now=True, max_files_per_trigger=1,
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination(240)
+    assert "OrderingViolationError" in str(exc.value) or isinstance(
+        exc.value, OrderingViolationError
+    )
