@@ -163,16 +163,22 @@ def main():
     # identical runs on string-heavy stages (documented in BENCH.md round 1).
     # A fixed JVM-side string-hash workload, timed, makes each bench line
     # NORMALIZABLE: compare runs via ratio-to-probe, not absolute seconds.
+    # Sampled THREE times (start / after the analytics queries / end) so the
+    # normalization tracks drift WITHIN the run, not just at its start.
     from pyspark.sql import functions as _PF
 
-    _p0 = time.time()
-    (
-        spark.range(0, 50_000_000)
-        .select(_PF.xxhash64(_PF.concat(_PF.lit("probe-"), _PF.col("id").cast("string"))).alias("h"))
-        .agg(_PF.count(_PF.when(_PF.col("h") % 2 == 0, 1)))
-        .collect()
-    )
-    host_probe_sec = round(time.time() - _p0, 3)
+    def host_probe() -> float:
+        _p0 = time.time()
+        (
+            spark.range(0, 50_000_000)
+            .select(_PF.xxhash64(_PF.concat(_PF.lit("probe-"), _PF.col("id").cast("string"))).alias("h"))
+            .agg(_PF.count(_PF.when(_PF.col("h") % 2 == 0, 1)))
+            .collect()
+        )
+        return round(time.time() - _p0, 3)
+
+    probes = [host_probe()]
+    host_probe_sec = probes[0]
 
     import __spark_entry__ as entry_mod
 
@@ -199,6 +205,8 @@ def main():
         n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
+    probes.append(host_probe())  # mid-run sample
+
     workdir = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
         cdc = bench_cdc_replay(spark, n_events, epochs, workdir)
@@ -211,7 +219,16 @@ def main():
     timings["simhash_skewed"] = skew["simhash_skewed_sec"]
     timings["embedding_lsh"] = skew["embedding_lsh_sec"]
 
-    total = round(sum(timings.values()), 3)
+    probes.append(host_probe())  # end-of-run sample
+    probe_mean = round(sum(probes) / len(probes), 3)
+    # Ratio-to-probe normalization (cross-round comparable BY CONSTRUCTION):
+    # durations divide by the probe (dimensionless, lower = better);
+    # throughput multiplies by it (probe-seconds' worth of work per event
+    # stream second, higher = better). A 2× slower host doubles both the
+    # query time and the probe, so the ratio cancels the host.
+    queries_normalized = {
+        k: round(v / probe_mean, 4) for k, v in timings.items()
+    }
     out = {
         "metric": "end-to-end CDC replay→merge + analytics suite wall time",
         "value": total,
@@ -225,6 +242,13 @@ def main():
             "cdc_final_rows": cdc["final_rows"],
             "cpus": cpus,
             "host_stringhash_probe_sec": host_probe_sec,
+            "host_probe_secs": probes,
+            "host_probe_mean_sec": probe_mean,
+            "queries_normalized_to_probe": queries_normalized,
+            "total_normalized_to_probe": round(total / probe_mean, 3),
+            "cdc_events_per_sec_normalized": round(
+                cdc["events_per_sec"] * probe_mean, 1
+            ),
             "minhash_skewed_pairs": skew["minhash_skewed_pairs"],
             "minhash_bucket_stats": skew["minhash_bucket_stats"],
             "simhash_skewed_pairs": skew["simhash_skewed_pairs"],

@@ -1042,13 +1042,24 @@ class LakeTable:
             num_buckets=num_buckets,
         )
 
-    def vacuum(self, retain_versions: int = 0) -> int:
+    def vacuum(
+        self, retain_versions: int = 0, staging_grace_sec: float = 86_400.0
+    ) -> int:
         """Delete data files not referenced by the retained snapshots
-        (orphans from failed commits / rewritten buckets).
+        (orphans from failed commits / rewritten buckets), plus staging
+        directories leaked by writers that died between stage and commit.
 
         ``retain_versions=K`` keeps files referenced by the last K+1
         snapshots, so time-travel reads within that horizon stay valid
-        (Iceberg expire-snapshots semantics). Returns count removed."""
+        (Iceberg expire-snapshots semantics). Returns count removed.
+
+        Staging reclamation: ``.staging-*`` dirs (data / dv / edv stages)
+        live under the table root but OUTSIDE data/, so the data walk never
+        saw them — a crashed writer leaked its whole stage forever (review
+        finding). A dir whose newest file is older than
+        ``staging_grace_sec`` cannot belong to a live writer (stage →
+        finalize is seconds-to-minutes; default grace 24 h) and is
+        removed; younger dirs are left for their (possibly live) writer."""
         latest = self.latest_version()
         live: set[str] = set()
         for v in range(max(1, latest - retain_versions), latest + 1):
@@ -1066,6 +1077,24 @@ class LakeTable:
                 if p not in live:
                     os.unlink(p)
                     removed += 1
+        now = time.time()
+        for entry in os.listdir(self.root):
+            if not entry.startswith(".staging-"):
+                continue
+            path = os.path.join(self.root, entry)
+            if not os.path.isdir(path):
+                continue
+            newest = max(
+                (
+                    os.path.getmtime(os.path.join(r, f))
+                    for r, _, fs in os.walk(path)
+                    for f in fs
+                ),
+                default=os.path.getmtime(path),
+            )
+            if now - newest > staging_grace_sec:
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
         return removed
 
     def vacuum_metadata(self, retain_versions: int = 0) -> int:

@@ -519,3 +519,43 @@ def test_bucket_layout_trust_rules(spark):
     assert bucket_layout_trusted(snap(str_schema, {}))          # strings safe
     assert not bucket_layout_trusted(snap(int_schema, {}))      # numeric unsafe
     assert bucket_layout_trusted(snap(int_schema, {PROP_BUCKET_HASH: BUCKET_HASH_V2}))
+
+
+def test_vacuum_reclaims_crash_leaked_staging_dirs(spark, tmp_table_root):
+    """A writer killed between stage and commit leaks its whole
+    .staging-*/ dir (it lives OUTSIDE data/, which vacuum walks) —
+    review finding. Vacuum removes staging dirs older than the grace
+    period without touching a live writer's fresh staging."""
+    import os
+    import time
+
+    t = LakeTable.create(
+        spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    t.append(_df(spark, [("a", "1", "x")]))
+    # simulate three crashed writers (data / dv / edv stages), backdated
+    old = time.time() - 100_000
+    for name in (".staging-deadbeef", ".staging-dv-deadbeef", ".staging-edv-deadbeef"):
+        d = os.path.join(tmp_table_root, name, "_b=0")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "wb") as f:
+            f.write(b"orphan")
+        for p in (d, os.path.join(tmp_table_root, name)):
+            os.utime(p, (old, old))
+        os.utime(os.path.join(d, "part-0.parquet"), (old, old))
+    # and one LIVE writer mid-stage (fresh mtime) — must survive
+    live = os.path.join(tmp_table_root, ".staging-live0001")
+    os.makedirs(live)
+    with open(os.path.join(live, "part-0.parquet"), "wb") as f:
+        f.write(b"inflight")
+
+    n = t.vacuum(staging_grace_sec=3600)
+    assert n == 3
+    left = {e for e in os.listdir(tmp_table_root) if e.startswith(".staging-")}
+    assert left == {".staging-live0001"}
+    assert t.read().count() == 1  # committed data untouched
+    # after the grace elapses the abandoned one goes too
+    assert t.vacuum(staging_grace_sec=-1) == 1
+    assert not any(
+        e.startswith(".staging-") for e in os.listdir(tmp_table_root)
+    )
