@@ -26,11 +26,18 @@ changed rows of the range (changelog reads are touched-file-scoped), and
 the MERGE prunes to the buckets the changed groups hash into. A 10^10-row
 source with a million-row epoch costs the epoch, not the table.
 
-Supported aggregates: COUNT(*) (always, column ``cnt``) and SUM(col)
-(self-decomposable under +/-). AVG = sum/cnt at read time. MIN/MAX are not
-maintainable from deltas alone (a deleted max needs a rescan) — out of
-scope, as in every production IVM (Materialize-style retractions would
-need full multiset state).
+Supported aggregates: COUNT(*) (always, column ``cnt``), SUM(col)
+(self-decomposable under +/-; AVG = sum/cnt at read time), and MIN/MAX
+via SCOPED RE-AGGREGATION: inserts maintain an extremum monotonically
+(``least(t.min, delta.min)``), but a delete/update that removes a group's
+current extremum can't be undone from the delta — those groups (and only
+those) are re-aggregated from the source AT THE PINNED VERSION the
+refresh covers. The rescan set is detected by comparing each group's
+deleted-side extremum against the view's current value; when the set is
+small (the overwhelming case — it's groups-that-lost-their-extremum per
+epoch, capped at ``rescan_inlist_cap``) it becomes an IN-list predicate
+that pushes down to the parquet scan, else a semi-join. No rescan ever
+touches groups whose extremum provably survived.
 
 Exactness: integer sums are exact. Double sums are subject to float
 associativity drift vs a recompute (the deltas arrive in a different
@@ -65,14 +72,23 @@ class IncrementalAggView:
         root: str,
         group_cols: list[str],
         sum_cols: dict[str, str] | None = None,
+        min_cols: dict[str, str] | None = None,
+        max_cols: dict[str, str] | None = None,
         num_buckets: int = 8,
+        rescan_inlist_cap: int = 10_000,
     ):
         self.spark = spark
         self.source = source
         self.root = root
         self.group_cols = list(group_cols)
         self.sum_cols = dict(sum_cols or {})
+        self.min_cols = dict(min_cols or {})
+        self.max_cols = dict(max_cols or {})
         self.num_buckets = num_buckets
+        self.rescan_inlist_cap = rescan_inlist_cap
+        overlap = set(self.min_cols) & set(self.max_cols)
+        if overlap:
+            raise ValueError(f"min/max output names collide: {sorted(overlap)}")
 
     # --------------------------------------------------------------- state
     def table(self) -> LakeTable:
@@ -88,6 +104,14 @@ class IncrementalAggView:
         return self.table().read()
 
     # ------------------------------------------------------------- refresh
+    @property
+    def _extrema(self) -> dict[str, tuple[str, str]]:
+        """{output_col: (kind, source_col)} for min/max maintenance."""
+        return {
+            **{o: ("min", c) for o, c in self.min_cols.items()},
+            **{o: ("max", c) for o, c in self.max_cols.items()},
+        }
+
     def _delta(self, last: int, upto: int) -> DataFrame:
         ch = self.source.read_changelog(last, upto, emit_preimages=True)
         sign = F.when(F.col("_change_type").isin(*_PLUS), F.lit(1)).otherwise(
@@ -102,7 +126,87 @@ class IncrementalAggView:
             # null reads 0 here where SQL SUM reads NULL — the one
             # documented divergence.)
             aggs.append(F.sum(F.coalesce(F.col(col), F.lit(0)) * sign).alias(out))
+        for out, (kind, col) in self._extrema.items():
+            fn = F.min if kind == "min" else F.max
+            # inserted-side extremum (monotone merge candidate) and
+            # deleted-side extremum (rescan trigger) in the same partial agg
+            aggs.append(fn(F.when(sign == 1, F.col(col))).alias(f"__plus_{out}"))
+            aggs.append(fn(F.when(sign == -1, F.col(col))).alias(f"__minus_{out}"))
         return ch.groupBy(*self.group_cols).agg(*aggs)
+
+    def _attach_extrema(self, vt, view_version: int | None, delta: DataFrame,
+                        src_v: int) -> DataFrame:
+        """Resolve min/max for every delta group: groups whose deleted-side
+        extremum threatens the view's current value are re-aggregated from
+        the source PINNED at ``src_v`` (scoped: IN-list pushdown when the
+        rescan set is small, semi-join beyond the cap); every other group
+        merges monotonically. Adds one ``__resc`` marker column consumed by
+        the merge expressions."""
+        ext = self._extrema
+        if view_version is not None:
+            # read at the PINNED view version (the one the stamp came
+            # from): a rival's interleaved commit fails the merge's version
+            # pin anyway, so reading latest would only waste the retry
+            cur = vt.read(version=view_version).select(
+                *self.group_cols,
+                *[F.col(o).alias(f"__cur_{o}") for o in ext],
+            )
+            j = delta.join(cur, on=self.group_cols, how="left")
+        else:
+            j = delta.select(
+                "*", *[F.lit(None).alias(f"__cur_{o}") for o in ext]
+            )
+        resc = F.lit(False)
+        for o, (kind, _) in ext.items():
+            threat = (
+                F.col(f"__minus_{o}") <= F.col(f"__cur_{o}")
+                if kind == "min"
+                else F.col(f"__minus_{o}") >= F.col(f"__cur_{o}")
+            )
+            resc = resc | (
+                F.col(f"__minus_{o}").isNotNull()
+                & (F.col(f"__cur_{o}").isNull() | threat)
+            )
+        j = j.withColumn("__resc", resc)
+        # Bounded driver read of the rescan KEY SET (cap+1 probe): per
+        # refresh it is "groups that lost their current extremum this
+        # range" — tiny in practice. Small sets become a pushed-down
+        # IN-list; larger sets fall back to a distributed semi-join.
+        cap = self.rescan_inlist_cap
+        key_rows = j.where(F.col("__resc")).select(*self.group_cols).limit(
+            cap + 1
+        ).collect()
+        aggs = [
+            (F.min if kind == "min" else F.max)(F.col(col)).alias(f"__resc_{o}")
+            for o, (kind, col) in ext.items()
+        ]
+        if not key_rows:
+            finals = [
+                F.col(f"__plus_{o}").alias(o) for o in ext
+            ]
+        else:
+            src_at = self.source.read(version=src_v)
+            if len(key_rows) <= cap and len(self.group_cols) == 1:
+                g = self.group_cols[0]
+                scoped = src_at.where(
+                    F.col(g).isin([r[g] for r in key_rows])
+                )
+            else:
+                keys_df = j.where(F.col("__resc")).select(*self.group_cols)
+                if len(key_rows) <= cap:
+                    keys_df = F.broadcast(keys_df)
+                scoped = src_at.join(keys_df, on=self.group_cols, how="left_semi")
+            resc_agg = scoped.groupBy(*self.group_cols).agg(*aggs)
+            j = j.join(resc_agg, on=self.group_cols, how="left")
+            finals = [
+                F.when(F.col("__resc"), F.col(f"__resc_{o}"))
+                .otherwise(F.col(f"__plus_{o}"))
+                .alias(o)
+                for o in ext
+            ]
+        return j.select(
+            *self.group_cols, "cnt", *self.sum_cols.keys(), *finals, "__resc"
+        )
 
     def refresh(self, _retries: int = 5) -> dict:
         """Catch the view up to the source's current version. One MERGE,
@@ -134,13 +238,19 @@ class IncrementalAggView:
             if src_v <= last:
                 return {"refreshed": False, "source_version": last}
             delta = self._delta(last, src_v)
+            ext = self._extrema
+            if ext:
+                delta = self._attach_extrema(
+                    vt, vsnap.version if vsnap is not None else None,
+                    delta, src_v,
+                )
             props = {PROP_SOURCE_VERSION: str(src_v)}
             if vsnap is None:
                 try:
                     vt = LakeTable.create(
                         self.spark,
                         self.root,
-                        delta.schema,
+                        delta.drop("__resc").schema if ext else delta.schema,
                         key_cols=self.group_cols,
                         num_buckets=self.num_buckets,
                     )
@@ -148,14 +258,20 @@ class IncrementalAggView:
                     continue  # rival created it — re-read the stamp
                 vsnap = vt.snapshot()
             agg_cols = ["cnt", *self.sum_cols.keys()]
+            upd = {c: F.col(f"t.{c}") + F.col(f"s.{c}") for c in agg_cols}
+            for o, (kind, _) in ext.items():
+                fn = F.least if kind == "min" else F.greatest
+                # rescanned groups take the re-aggregated truth; everyone
+                # else merges monotonically (least/greatest skip nulls)
+                upd[o] = F.when(F.col("s.__resc"), F.col(f"s.{o}")).otherwise(
+                    fn(F.col(f"t.{o}"), F.col(f"s.{o}"))
+                )
             try:
                 res = merge_into(
                     vt,
                     delta,
                     on=self.group_cols,
-                    when_matched_update={
-                        c: F.col(f"t.{c}") + F.col(f"s.{c}") for c in agg_cols
-                    },
+                    when_matched_update=upd,
                     when_matched_delete=(F.col("t.cnt") + F.col("s.cnt")) == 0,
                     when_not_matched_insert=F.col("s.cnt") > 0,
                     properties=props,

@@ -261,3 +261,94 @@ def test_ivm_survives_equality_delete_then_rewrite(spark, tmp_table_root):
     )
     view.refresh()
     assert _view_state(view) == _recompute(t) == {("a", 4, 124)}
+
+
+def test_ivm_min_max_via_scoped_rescan(spark, tmp_table_root):
+    """MIN/MAX maintenance: inserts merge monotonically; a delete/update
+    that removes a group's current extremum triggers a re-aggregation of
+    ONLY the affected groups (pinned at the covered source version). The
+    maintained view must equal the recompute across every episode, and
+    each refresh stays one atomic stamped commit."""
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"],
+        num_buckets=4,
+    )
+    view = IncrementalAggView(
+        spark, t, tmp_table_root + "/view", group_cols=["repo"],
+        sum_cols={"total": "size"},
+        min_cols={"mn": "size"}, max_cols={"mx": "size"},
+    )
+
+    def recompute():
+        return {
+            (r.repo, r.cnt, r.total, r.mn, r.mx)
+            for r in t.read().groupBy("repo").agg(
+                F.count(F.lit(1)).alias("cnt"), F.sum("size").alias("total"),
+                F.min("size").alias("mn"), F.max("size").alias("mx"),
+            ).collect()
+        }
+
+    def vstate():
+        return {
+            (r.repo, r.cnt, r.total, r.mn, r.mx)
+            for r in view.read().collect()
+        }
+
+    # 1. first refresh (insert-only): extrema from the delta alone
+    t.append(_df(spark, [(f"r{i % 3}", f"p{i}", i * 10) for i in range(12)]))
+    view.refresh()
+    assert vstate() == recompute()
+
+    # 2. monotone growth: new max + new min, NO extremum deleted
+    t.append(_df(spark, [("r0", "hi", 10_000), ("r1", "lo", -5)]))
+    v_before = view.table().latest_version()
+    view.refresh()
+    assert vstate() == recompute()
+    assert view.table().latest_version() == v_before + 1  # one atomic commit
+
+    # 3. DELETE the current max of r0 → scoped rescan of r0 only
+    delete(t, (F.col("repo") == "r0") & (F.col("size") == 10_000))
+    view.refresh()
+    assert vstate() == recompute()
+
+    # 4. UPDATE that moves the current min of r1 upward (preimage removes
+    #    the extremum, postimage re-inserts elsewhere in the range)
+    update(t, {"size": F.lit(999)}, (F.col("repo") == "r1") & (F.col("size") == -5))
+    view.refresh()
+    assert vstate() == recompute()
+
+    # 5. intra-range churn on a NEW group: insert 5, delete 5, insert 7
+    #    within ONE refresh range — plus-side min (5) is stale; rescan must
+    #    resolve to 7
+    t.append(_df(spark, [("rz", "a", 5)]))
+    delete(t, F.col("repo") == "rz")
+    t.append(_df(spark, [("rz", "b", 7)]))
+    view.refresh()
+    assert vstate() == recompute()
+    assert ("rz", 1, 7, 7, 7) in vstate()
+
+    # 6. group vanishes entirely → view row deleted
+    delete(t, F.col("repo") == "rz")
+    view.refresh()
+    assert vstate() == recompute()
+    assert not any(g == "rz" for g, *_ in vstate())
+
+    # 7. all-null measures: min/max are NULL (natural SQL), sum reads 0
+    t.append(
+        spark.createDataFrame(
+            [Row(repo="rn", path="x", size=None),
+             Row(repo="rn", path="y", size=None)], SCHEMA
+        )
+    )
+    view.refresh()
+    got = {r.repo: (r.cnt, r.total, r.mn, r.mx) for r in view.read().collect()}
+    assert got["rn"] == (2, 0, None, None)
+    # deleting one null row must NOT trigger a bogus extremum rescan crash
+    delete(t, (F.col("repo") == "rn") & (F.col("path") == "x"))
+    view.refresh()
+    got = {r.repo: (r.cnt, r.total, r.mn, r.mx) for r in view.read().collect()}
+    assert got["rn"] == (1, 0, None, None)
+
+    # 8. idempotence
+    r2 = view.refresh()
+    assert r2["refreshed"] is False
