@@ -642,6 +642,69 @@ GROUP BY o_orderstatus
 """
 
 
+def ivm_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX view maintenance under the exact-oracle gate: a
+    count+min+max view survives a DELETE that removes each group's current
+    maximum (scoped re-aggregation of only the affected groups) and an
+    UPDATE that moves current minima (preimage removes the extremum),
+    and must equal the SQL GROUP BY of the final state. Extrema are NOT
+    delta-decomposable — this is the episode that forces the rescan path
+    (lake/ivm.py:_attach_extrema)."""
+    from techtalk_data_pipeline_snowpark_spark.lake import IncrementalAggView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    root = tempfile.mkdtemp(prefix="ivm_mm_")
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "orders"),
+        orders.schema,
+        key_cols=["o_orderkey"],
+        num_buckets=4,
+    )
+    view = IncrementalAggView(
+        spark,
+        tbl,
+        os.path.join(root, "view"),
+        group_cols=["o_orderstatus"],
+        min_cols={"min_price": "o_totalprice"},
+        max_cols={"max_price": "o_totalprice"},
+        num_buckets=2,
+    )
+    tbl.append(orders)
+    view.refresh()
+    # removes every group's top tail → delete-of-the-max rescan
+    lake_delete(tbl, F.col("o_totalprice") > 400000)
+    view.refresh()
+    # moves scattered rows down 1 — wherever one was a group minimum, the
+    # preimage removal forces that group's rescan too
+    lake_update(
+        tbl,
+        {"o_totalprice": F.col("o_totalprice") - 1},
+        F.col("o_orderkey") % 11 == 0,
+    )
+    view.refresh()
+    return view.read().select("o_orderstatus", "cnt", "min_price", "max_price")
+
+
+_IVM_MINMAX_ORACLE = """
+WITH u AS (
+  SELECT o_orderstatus,
+         o_totalprice
+           - CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS p
+  FROM orders WHERE o_totalprice <= 400000
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(p) AS min_price,
+       MAX(p) AS max_price
+FROM u GROUP BY o_orderstatus
+"""
+
+
 def rebucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution under the exact-oracle gate: a table
     created at 2 buckets takes an UPDATE, widens to 8 buckets via
@@ -1342,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equality_delete_orders": equality_delete_orders,
         "rebucket_orders": rebucket_orders,
         "ivm_orders_by_status": ivm_orders_by_status,
+        "ivm_minmax_orders": ivm_minmax_orders,
         "ingest_orders_roundtrip": ingest_orders_roundtrip,
         "read_changelog_orders": read_changelog_orders,
         "stream_ingest_orders": stream_ingest_orders,
@@ -1384,6 +1448,7 @@ def oracle_sql() -> dict[str, str]:
         "equality_delete_orders": _EQUALITY_DELETE_ORACLE,
         "rebucket_orders": _REBUCKET_ORACLE,
         "ivm_orders_by_status": _IVM_ORACLE,
+        "ivm_minmax_orders": _IVM_MINMAX_ORACLE,
         "ingest_orders_roundtrip": _INGEST_ORACLE,
         "read_changelog_orders": _CHANGELOG_ORACLE,
         "stream_ingest_orders": _STREAM_INGEST_ORACLE,
