@@ -433,10 +433,17 @@ def simhash_candidates(
     Mega-bucket defense (mirrors ``minhash_lsh_candidates``): identical
     simhash values are collapsed to one representative before the block
     self-join (star pairs rep→member preserve connectivity — a 2,000-copy
-    cluster costs O(m) pairs, not O(m²)), and distinct-value block buckets
-    larger than ``max_bucket_size`` are dropped pre-join (low-entropy
-    blocks carry almost no discriminative signal; truncation is observable
-    via ``simhash_bucket_stats``, never silent)."""
+    cluster costs O(m) pairs, not O(m²)). Distinct-value block buckets
+    larger than ``max_bucket_size`` are SAMPLED down to the cap
+    (deterministic — rank by a hash of the member id) instead of dropped
+    outright: the per-bucket join cost stays O(cap²), a near-miss pair
+    whose every shared block is over cap can still surface through the
+    sampled members, and a pair with ANY under-cap shared block is always
+    found via that block (pigeonhole rescue). Residual in-bucket loss is
+    quantified, never silent: ``simhash_bucket_stats`` reports
+    ``candidate_pairs_dropped`` and ``est_in_bucket_pair_recall``."""
+    from pyspark.sql import Window
+
     s, groups = _simhash_groups(sim, id_col)
     try:
         star = (
@@ -446,9 +453,24 @@ def simhash_candidates(
         )
         parts = _simhash_blocks(groups, blocks)
         sizes = parts.groupBy("blk", "bits").agg(F.count(F.lit(1)).alias("_n"))
-        capped = parts.join(
+        under = parts.join(
             sizes.where(F.col("_n") <= max_bucket_size), on=["blk", "bits"], how="inner"
         ).drop("_n")
+        # over-cap buckets: keep a deterministic cap-size sample (window is
+        # partitioned per bucket — parallel, and only over-cap volume pays)
+        w = Window.partitionBy("blk", "bits").orderBy(
+            F.xxhash64(F.col("_id").cast("string")), F.col("_id")
+        )
+        over = (
+            parts.join(
+                sizes.where(F.col("_n") > max_bucket_size),
+                on=["blk", "bits"], how="inner",
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_n", "_rn")
+        )
+        capped = under.unionByName(over)
         l, r = capped.alias("l"), capped.alias("r")
         band_pairs = (
             l.join(
@@ -479,27 +501,37 @@ def simhash_bucket_stats(
         sizes = _simhash_blocks(groups, blocks).groupBy("blk", "bits").agg(
             F.count(F.lit(1)).alias("_n")
         )
+        cap_pairs = max_bucket_size * (max_bucket_size - 1) / 2
         row = sizes.agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.max("_n").alias("max_bucket"),
             F.expr("percentile_approx(_n, 0.99)").alias("p99_bucket"),
             F.sum(F.when(F.col("_n") > max_bucket_size, 1).otherwise(0)).alias(
-                "buckets_dropped"
+                "buckets_capped"
             ),
+            # in-bucket pairs LOST to sampling: C(n,2) - C(cap,2) per
+            # over-cap bucket (a lost pair may still surface via another
+            # shared block — this is the conservative per-bucket loss)
             F.sum(
                 F.when(
                     F.col("_n") > max_bucket_size,
-                    F.col("_n") * (F.col("_n") - 1) / 2,
+                    F.col("_n") * (F.col("_n") - 1) / 2 - F.lit(cap_pairs),
                 ).otherwise(0)
             ).alias("candidate_pairs_dropped"),
+            F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_total_pairs"),
         ).first()
         biggest = groups.agg(F.max("_m").alias("m")).first()["m"]
+        total_pairs = float(row["_total_pairs"] or 0)
+        dropped = float(row["candidate_pairs_dropped"] or 0)
+        recall = 1.0 if total_pairs == 0 else (total_pairs - dropped) / total_pairs
         return {
             "n_buckets": int(row["n_buckets"] or 0),
             "max_bucket": int(row["max_bucket"] or 0),
             "p99_bucket": int(row["p99_bucket"] or 0),
-            "buckets_dropped": int(row["buckets_dropped"] or 0),
-            "candidate_pairs_dropped": int(row["candidate_pairs_dropped"] or 0),
+            "buckets_capped": int(row["buckets_capped"] or 0),
+            "candidate_pairs_dropped": int(dropped),
+            # lower bound: ignores cross-block rescue of dropped pairs
+            "est_in_bucket_pair_recall": round(recall, 4),
             "max_identical_simhash_group": int(biggest or 0),
         }
     finally:

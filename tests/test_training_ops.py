@@ -124,7 +124,8 @@ def test_simhash_mega_cluster_is_linear(spark):
 
     stats = simhash_bucket_stats(sim, "doc_id")
     assert stats["max_identical_simhash_group"] == m
-    assert stats["buckets_dropped"] == 0        # collapse keeps buckets tiny
+    assert stats["buckets_capped"] == 0         # collapse keeps buckets tiny
+    assert stats["est_in_bucket_pair_recall"] == 1.0
 
 
 def test_embedding_mega_cluster_is_linear(spark):
@@ -379,3 +380,55 @@ def test_jpeg_fill_bytes_before_marker(spark):
         + b"\xff\xd9"
     )
     assert parse_image_dims(jpeg) == (240, 120, "jpeg")
+
+
+def test_simhash_over_cap_bucket_rescue_and_sampling(spark):
+    """Capped-bucket recall (review finding): a near-miss pair whose shared
+    block is OVER cap must still be found via its other (under-cap) shared
+    blocks, and over-cap buckets are now SAMPLED to the cap instead of
+    dropped outright — pairs among sampled members survive, and the
+    residual loss is quantified in the stats."""
+    import random
+
+    from techtalk_data_pipeline_snowpark_spark.operators.dedup import (
+        simhash_bucket_stats,
+        simhash_candidates,
+    )
+
+    rng = random.Random(7)
+    cap = 16
+    # 100 BULK docs: distinct random high-48 bits, all sharing block 0
+    # (bits 0-15 = 0xABCD) → bucket (blk0, 0xABCD) has 102 members, over cap
+    rows = []
+    seen = set()
+    for i in range(100):
+        hi = rng.getrandbits(46)
+        while hi in seen:
+            hi = rng.getrandbits(46)
+        seen.add(hi)
+        rows.append((i, (hi << 16) | 0xABCD))
+    # planted NEAR-MISS pair (Hamming 1): shares the over-cap block 0 AND
+    # blocks 2,3 (their bucket size = 2, under cap) — must be rescued
+    hi = rng.getrandbits(46)
+    vx = (hi << 16) | 0xABCD
+    vy = vx ^ (1 << 20)  # flip one bit inside block 1
+    rows += [(1_000_001, vx), (1_000_002, vy)]
+    sim = spark.createDataFrame(rows, ["doc_id", "simhash"])
+
+    pairs = {
+        (r.a, r.b)
+        for r in simhash_candidates(
+            sim, "doc_id", max_bucket_size=cap
+        ).collect()
+    }
+    # 1. pigeonhole rescue: the Hamming-1 pair survives the over-cap block
+    assert (1_000_001, 1_000_002) in pairs
+    # 2. sampling: some pairs among bulk members (whose ONLY shared block
+    #    is the over-cap one) still surface — the old hard drop yielded 0
+    bulk_pairs = [p for p in pairs if p[0] < 100 and p[1] < 100]
+    assert len(bulk_pairs) >= cap * (cap - 1) // 2 - cap  # ~C(cap,2)
+    # 3. loss is quantified, never silent
+    stats = simhash_bucket_stats(sim, "doc_id", max_bucket_size=cap)
+    assert stats["buckets_capped"] >= 1
+    assert stats["candidate_pairs_dropped"] > 0
+    assert 0 < stats["est_in_bucket_pair_recall"] < 1
