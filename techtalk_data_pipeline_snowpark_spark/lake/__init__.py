@@ -1,10 +1,14 @@
 from .ivm import IncrementalAggView
 from .merge import delete, equality_delete_keys, merge_into, mor_delete_keys, update
+from .store import FakeObjectStore, PosixStore, TableStore
 from .table import CommitResult, ConcurrentCommitError, LakeTable, Snapshot, bucket_expr
 from .views import ViewCatalog
 
 __all__ = [
     "IncrementalAggView",
+    "TableStore",
+    "PosixStore",
+    "FakeObjectStore",
     "ViewCatalog",
     "CommitResult",
     "ConcurrentCommitError",

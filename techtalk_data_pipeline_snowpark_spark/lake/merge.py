@@ -503,7 +503,7 @@ def equality_delete_keys(
     }
     if not files or n_keys == 0:
         for rel in edv_rels:
-            os.unlink(os.path.join(table.root, rel))
+            table.store.delete(rel)
         return table.commit_rewrite(
             [], [], "delete", properties=properties,
             summary={**summary, "files_affected": 0},

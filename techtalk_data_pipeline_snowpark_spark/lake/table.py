@@ -14,11 +14,20 @@ Layout (local FS or any FS with atomic same-dir rename/link)::
       data/b=<bucket>/<uuid>.parquet     # bucketed tables
       data/<uuid>.parquet                # unbucketed tables
 
-Commit protocol: write ``.tmp-<uuid>`` then ``os.link`` to the final
-version-numbered name. ``link`` is atomic and fails with EEXIST on a
-concurrent writer → optimistic concurrency, single winner per version.
-Data files written before a failed commit are unreferenced orphans (cleaned
-by ``vacuum``), never visible — readers only see files listed in the log.
+Commit protocol: one **conditional put** of the version-numbered log entry
+— exactly one writer wins version N (optimistic concurrency). Data files
+written before a failed commit are unreferenced orphans (cleaned by
+``vacuum``), never visible — readers only see files listed in the log.
+
+All driver-side storage I/O (conditional puts, staged-file finalize,
+listing, deletes) goes through a pluggable :class:`~.store.TableStore`:
+the default :class:`~.store.PosixStore` implements conditional put as
+write-temp + ``os.link``; tests also run the full commit/rewrite/vacuum
+suite against :class:`~.store.FakeObjectStore` (S3-style semantics: no
+rename/link, conditional create, COPY+DELETE finalize) to prove the table
+deploys on object stores — see lake/store.py for the S3/ADLS/GCS mapping.
+Bulk data moves (Spark writing staged parquet, executors reading) use file
+URIs the engine resolves natively and are NOT proxied through the store.
 
 Scale posture:
 - Buckets = hash(key) % N assigned with Spark's Murmur3 ``F.hash`` (stable,
@@ -38,7 +47,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -46,6 +54,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .store import PosixStore, TableStore
 
 LOG_DIR = "_log"
 DATA_DIR = "data"
@@ -136,9 +146,12 @@ class ConcurrentCommitError(RuntimeError):
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, store: TableStore | None = None):
         self.spark = spark
         self.root = root
+        # Driver-side metadata/finalize I/O seam — PosixStore by default;
+        # FakeObjectStore (tests) proves the S3/ADLS deployment story.
+        self.store = store if store is not None else PosixStore(root)
 
     # ---------------------------------------------------------------- DDL
     @classmethod
@@ -151,14 +164,15 @@ class LakeTable:
         num_buckets: int | None = None,
         if_not_exists: bool = False,
         properties: dict | None = None,
+        store: TableStore | None = None,
     ) -> "LakeTable":
-        t = cls(spark, root)
+        t = cls(spark, root, store=store)
         if t.exists():
             if if_not_exists:
                 return t
             raise FileExistsError(f"lake table already exists at {root}")
-        os.makedirs(os.path.join(root, LOG_DIR), exist_ok=True)
-        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        t.store.ensure_dir(LOG_DIR)
+        t.store.ensure_dir(DATA_DIR)
         t._commit(
             {
                 "operation": "create",
@@ -182,20 +196,18 @@ class LakeTable:
         ``.tmp-*`` files from a concurrent creator don't count (they made
         exists() true while snapshot() still raised, crashing racers
         outside their creation-race handler)."""
-        d = os.path.join(self.root, LOG_DIR)
-        if not os.path.isdir(d):
-            return False
         return any(
             e.endswith(".json") and not e.startswith(".") and ".checkpoint." not in e
-            for e in os.listdir(d)
+            for e in self.store.list_dir(LOG_DIR)
         )
 
     # ---------------------------------------------------------------- log
     def _log_path(self, version: int) -> str:
-        return os.path.join(self.root, LOG_DIR, f"{version:020d}.json")
+        """Root-relative log-entry path (a store key)."""
+        return f"{LOG_DIR}/{version:020d}.json"
 
     def _log_versions(self) -> list[int]:
-        entries = os.listdir(os.path.join(self.root, LOG_DIR))
+        entries = self.store.list_dir(LOG_DIR)
         return [
             int(e.split(".")[0])
             for e in entries
@@ -220,8 +232,7 @@ class LakeTable:
         end = end if end is not None else self.latest_version()
         out = []
         for v in range(start, end + 1):
-            with open(self._log_path(v)) as f:
-                e = json.load(f)
+            e = json.loads(self.store.read_bytes(self._log_path(v)))
             e["version"] = v
             out.append(e)
         return out
@@ -231,19 +242,13 @@ class LakeTable:
         entry = dict(entry)
         entry["version"] = version
         entry["timestamp"] = time.time()
-        tmp = os.path.join(self.root, LOG_DIR, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, self._log_path(version))  # atomic; EEXIST on race
-        except FileExistsError as e:
+        # one conditional put — exactly one writer wins this version
+        if not self.store.put_if_absent(
+            self._log_path(version), json.dumps(entry).encode()
+        ):
             raise ConcurrentCommitError(
                 f"version {version} already committed at {self.root}"
-            ) from e
-        finally:
-            os.unlink(tmp)
+            )
         if version % CHECKPOINT_EVERY == 0:
             try:
                 self._write_checkpoint(version)
@@ -255,13 +260,13 @@ class LakeTable:
 
     # ---------------------------------------------------------- checkpoints
     def _checkpoint_path(self, version: int) -> str:
-        return os.path.join(self.root, LOG_DIR, f"{version:020d}.checkpoint.json")
+        """Root-relative checkpoint path (a store key)."""
+        return f"{LOG_DIR}/{version:020d}.checkpoint.json"
 
     def _available_checkpoints(self) -> list[int]:
-        d = os.path.join(self.root, LOG_DIR)
         return sorted(
             int(e.split(".")[0])
-            for e in os.listdir(d)
+            for e in self.store.list_dir(LOG_DIR)
             if e.endswith(".checkpoint.json") and not e.startswith(".")
         )
 
@@ -275,17 +280,11 @@ class LakeTable:
             "files": snap.files,
             "properties": snap.properties,
         }
-        tmp = os.path.join(self.root, LOG_DIR, f".tmp-cp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, self._checkpoint_path(version))
-        except FileExistsError:
-            pass  # concurrent reader already checkpointed this version
-        finally:
-            os.unlink(tmp)
+        # losing the conditional put is fine — a concurrent reader already
+        # checkpointed this version (checkpoints are deterministic)
+        self.store.put_if_absent(
+            self._checkpoint_path(version), json.dumps(payload).encode()
+        )
 
     # ------------------------------------------------------------ snapshot
     def snapshot(self, version: int | None = None) -> Snapshot:
@@ -298,8 +297,7 @@ class LakeTable:
         start = 1
         cps = [v for v in self._available_checkpoints() if v <= version]
         if cps:
-            with open(self._checkpoint_path(max(cps))) as f:
-                cp = json.load(f)
+            cp = json.loads(self.store.read_bytes(self._checkpoint_path(max(cps))))
             files = {p: dict(m) for p, m in cp["files"].items()}
             schema_json = cp["schema"]
             key_cols = cp["key_cols"]
@@ -690,7 +688,8 @@ class LakeTable:
         one-dimensional shape. Disjoint ranges are what make the per-file
         zone maps (lake/stats.py) bite on non-key predicates: a selective
         scan then opens ~1 file per bucket instead of all of them."""
-        staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
+        staging_rel = f".staging-{uuid.uuid4().hex}"
+        staging = os.path.join(self.root, staging_rel)
         adds: list[dict] = []
         # INT96 (Spark's legacy default) carries no parquet column stats, so
         # timestamp zone maps would be empty; TIMESTAMP_MICROS is the
@@ -748,20 +747,18 @@ class LakeTable:
                 out.repartition(num_buckets, "_b").write.partitionBy("_b").mode(
                     "overwrite"
                 ).parquet(staging)
-            for bdir in os.listdir(staging):
+            moves: list[tuple[str, str]] = []
+            for bdir in self.store.list_dir(staging_rel):
                 if not bdir.startswith("_b="):
                     continue
                 b = int(bdir.split("=")[1])
-                os.makedirs(os.path.join(self.root, DATA_DIR, f"b={b}"), exist_ok=True)
-                for fn in os.listdir(os.path.join(staging, bdir)):
+                for fn in self.store.list_dir(f"{staging_rel}/{bdir}"):
                     if not fn.endswith(".parquet"):
                         continue
                     rel = f"{DATA_DIR}/b={b}/{uuid.uuid4().hex}.parquet"
-                    os.rename(
-                        os.path.join(staging, bdir, fn),
-                        os.path.join(self.root, rel),
-                    )
+                    moves.append((f"{staging_rel}/{bdir}/{fn}", rel))
                     adds.append({"path": rel, "bucket": b})
+            self.store.finalize(moves)
         else:
             flat = df.select(*ordered)
             if sort_by:
@@ -774,12 +771,14 @@ class LakeTable:
             if max_records_per_file:
                 writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
             writer.mode("overwrite").parquet(staging)
-            for fn in os.listdir(staging):
+            moves = []
+            for fn in self.store.list_dir(staging_rel):
                 if fn.endswith(".parquet"):
                     rel = f"{DATA_DIR}/{uuid.uuid4().hex}.parquet"
-                    os.rename(os.path.join(staging, fn), os.path.join(self.root, rel))
+                    moves.append((f"{staging_rel}/{fn}", rel))
                     adds.append({"path": rel, "bucket": None})
-        shutil.rmtree(staging, ignore_errors=True)
+            self.store.finalize(moves)
+        self.store.delete_dir(staging_rel)
         # zone maps: per-file min/max/null-count from the parquet footers the
         # write just produced (no data pages read) — ride the add-entries so
         # every snapshot can prune mutations/scans driver-side (lake/stats.py)
@@ -794,18 +793,21 @@ class LakeTable:
         per-file deleted-row counts) — the counts come from one aggregation
         over the just-written (tiny) DV files, giving the commit both its
         affected-file map and rows_affected without rescanning the table."""
-        staging = os.path.join(self.root, f".staging-dv-{uuid.uuid4().hex}")
+        staging_rel = f".staging-dv-{uuid.uuid4().hex}"
         # DV files are re-read on every subsequent scan of their data files
         # — keep them few; 8 writers is plenty for a metadata-sized output.
-        hits.coalesce(8).write.mode("overwrite").parquet(staging)
-        os.makedirs(os.path.join(self.root, DATA_DIR, "_dv"), exist_ok=True)
+        hits.coalesce(8).write.mode("overwrite").parquet(
+            os.path.join(self.root, staging_rel)
+        )
         rels: list[str] = []
-        for fn in os.listdir(staging):
+        moves: list[tuple[str, str]] = []
+        for fn in self.store.list_dir(staging_rel):
             if fn.endswith(".parquet"):
                 rel = f"{DATA_DIR}/_dv/{uuid.uuid4().hex}.parquet"
-                os.rename(os.path.join(staging, fn), os.path.join(self.root, rel))
+                moves.append((f"{staging_rel}/{fn}", rel))
                 rels.append(rel)
-        shutil.rmtree(staging, ignore_errors=True)
+        self.store.finalize(moves)
+        self.store.delete_dir(staging_rel)
         if not rels:
             return [], {}
         per_file = {
@@ -817,7 +819,7 @@ class LakeTable:
         }
         if not per_file:  # scan matched nothing — drop the empty DV files
             for rel in rels:
-                os.unlink(os.path.join(self.root, rel))
+                self.store.delete(rel)
             return [], {}
         return rels, per_file
 
@@ -825,19 +827,22 @@ class LakeTable:
         """Write an equality-delete key set into ``data/_edv/`` (not yet
         committed). The parquet's own schema names the anti-join columns —
         the read side never needs key plumbing. Returns rel paths."""
-        staging = os.path.join(self.root, f".staging-edv-{uuid.uuid4().hex}")
+        staging_rel = f".staging-edv-{uuid.uuid4().hex}"
         # same fan-out as DV staging: edv files are re-read on every scan of
         # their data files, so keep them few — but one writer would be a
         # serial tail on a 10^8-key all-delete epoch.
-        keys.distinct().coalesce(8).write.mode("overwrite").parquet(staging)
-        os.makedirs(os.path.join(self.root, DATA_DIR, "_edv"), exist_ok=True)
+        keys.distinct().coalesce(8).write.mode("overwrite").parquet(
+            os.path.join(self.root, staging_rel)
+        )
         rels: list[str] = []
-        for fn in os.listdir(staging):
+        moves: list[tuple[str, str]] = []
+        for fn in self.store.list_dir(staging_rel):
             if fn.endswith(".parquet"):
                 rel = f"{DATA_DIR}/_edv/{uuid.uuid4().hex}.parquet"
-                os.rename(os.path.join(staging, fn), os.path.join(self.root, rel))
+                moves.append((f"{staging_rel}/{fn}", rel))
                 rels.append(rel)
-        shutil.rmtree(staging, ignore_errors=True)
+        self.store.finalize(moves)
+        self.store.delete_dir(staging_rel)
         return rels
 
     def append(self, df: DataFrame, properties: dict | None = None) -> CommitResult:
@@ -1064,36 +1069,23 @@ class LakeTable:
         live: set[str] = set()
         for v in range(max(1, latest - retain_versions), latest + 1):
             s = self.snapshot(v)
-            live.update(os.path.join(self.root, p) for p in s.files)
+            live.update(s.files)
             live.update(
-                os.path.join(self.root, d)
+                d
                 for m in s.files.values()
                 for d in ((m or {}).get("dv", []) + (m or {}).get("edv", []))
             )
         removed = 0
-        for dirpath, _, files in os.walk(os.path.join(self.root, DATA_DIR)):
-            for fn in files:
-                p = os.path.join(dirpath, fn)
-                if p not in live:
-                    os.unlink(p)
-                    removed += 1
+        for rel in self.store.walk_files(DATA_DIR):
+            if rel not in live:
+                self.store.delete(rel)
+                removed += 1
         now = time.time()
-        for entry in os.listdir(self.root):
-            if not entry.startswith(".staging-"):
+        for entry in self.store.list_dir(""):
+            if not entry.startswith(".staging-") or not self.store.is_dir(entry):
                 continue
-            path = os.path.join(self.root, entry)
-            if not os.path.isdir(path):
-                continue
-            newest = max(
-                (
-                    os.path.getmtime(os.path.join(r, f))
-                    for r, _, fs in os.walk(path)
-                    for f in fs
-                ),
-                default=os.path.getmtime(path),
-            )
-            if now - newest > staging_grace_sec:
-                shutil.rmtree(path, ignore_errors=True)
+            if now - self.store.newest_mtime(entry) > staging_grace_sec:
+                self.store.delete_dir(entry)
                 removed += 1
         return removed
 
@@ -1117,14 +1109,13 @@ class LakeTable:
         )
         if base is None:
             return 0  # no checkpoint to replay from yet — keep everything
-        d = os.path.join(self.root, LOG_DIR)
         removed = 0
-        for e in os.listdir(d):
+        for e in self.store.list_dir(LOG_DIR):
             if e.startswith(".") or not e.endswith(".json"):
                 continue
             v = int(e.split(".")[0])
             if v < base:
-                os.unlink(os.path.join(d, e))
+                self.store.delete(f"{LOG_DIR}/{e}")
                 removed += 1
         return removed
 
