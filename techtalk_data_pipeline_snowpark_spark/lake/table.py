@@ -676,8 +676,9 @@ class LakeTable:
         num_buckets: int | None,
         key_cols: list[str],
         files_per_bucket: int | None = None,
-        sort_by: list[str] | None = None,
+        sort_by: list | None = None,  # column names or Column exprs (zorder)
         max_records_per_file: int | None = None,
+        subpartition: tuple | None = None,  # (slice Column, n_slices): aligned z-slicing
     ) -> list[dict]:
         """Write df into data/ and return add-entries (not yet committed).
 
@@ -721,7 +722,22 @@ class LakeTable:
                     slots,
                 )
                 files_per_bucket = max(1, min(par // num_buckets, 8))
-            if sort_by:
+            if sort_by and subpartition is not None:
+                # aligned multi-column clustering (zorder): shuffle by
+                # (bucket, z-slice) — each slice is an exact subcube of the
+                # value grid and lands in its own file (hash partitioning
+                # sends a (b, zs) group to exactly one task; partitionBy
+                # splits tasks per group → one file per slice)
+                zs, n_slices = subpartition
+                (
+                    out.withColumn("_zs", zs)
+                    .repartition(num_buckets * n_slices, "_b", "_zs")
+                    .sortWithinPartitions("_b", "_zs", *sort_by)
+                    .write.partitionBy("_b", "_zs")
+                    .mode("overwrite")
+                    .parquet(staging)
+                )
+            elif sort_by:
                 # one shuffle keyed by bucket, in-task sort on the cluster
                 # columns; maxRecordsPerFile slices the SORTED run, so the
                 # resulting files carry disjoint sort-key ranges
@@ -747,35 +763,50 @@ class LakeTable:
                 out.repartition(num_buckets, "_b").write.partitionBy("_b").mode(
                     "overwrite"
                 ).parquet(staging)
+            # recursive walk handles both flat `_b=X/*.parquet` layouts and
+            # the zorder write's nested `_b=X/_zs=Y/*.parquet`
             moves: list[tuple[str, str]] = []
-            for bdir in self.store.list_dir(staging_rel):
-                if not bdir.startswith("_b="):
+            for rel_f in self.store.walk_files(staging_rel):
+                parts = rel_f.split("/")
+                if not parts[-1].endswith(".parquet"):
                     continue
-                b = int(bdir.split("=")[1])
-                for fn in self.store.list_dir(f"{staging_rel}/{bdir}"):
-                    if not fn.endswith(".parquet"):
-                        continue
-                    rel = f"{DATA_DIR}/b={b}/{uuid.uuid4().hex}.parquet"
-                    moves.append((f"{staging_rel}/{bdir}/{fn}", rel))
-                    adds.append({"path": rel, "bucket": b})
+                bseg = next((s for s in parts if s.startswith("_b=")), None)
+                if bseg is None:
+                    continue
+                b = int(bseg.split("=")[1])
+                rel = f"{DATA_DIR}/b={b}/{uuid.uuid4().hex}.parquet"
+                moves.append((rel_f, rel))
+                adds.append({"path": rel, "bucket": b})
             self.store.finalize(moves)
         else:
             flat = df.select(*ordered)
-            if sort_by:
+            part_cols: list[str] = []
+            if sort_by and subpartition is not None:
+                # aligned z-slices, one file per slice (see bucketed path)
+                zs, n_slices = subpartition
+                flat = (
+                    flat.withColumn("_zs", zs)
+                    .repartition(n_slices, "_zs")
+                    .sortWithinPartitions("_zs", *sort_by)
+                )
+                part_cols = ["_zs"]
+            elif sort_by:
                 # range shuffle to an explicit file target, in-task sort:
                 # output files are range-disjoint on the cluster columns
                 flat = flat.repartitionByRange(
                     max(1, files_per_bucket or 1), *sort_by
                 ).sortWithinPartitions(*sort_by)
             writer = flat.write
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
             if max_records_per_file:
                 writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
             writer.mode("overwrite").parquet(staging)
             moves = []
-            for fn in self.store.list_dir(staging_rel):
-                if fn.endswith(".parquet"):
+            for rel_f in self.store.walk_files(staging_rel):
+                if rel_f.split("/")[-1].endswith(".parquet"):
                     rel = f"{DATA_DIR}/{uuid.uuid4().hex}.parquet"
-                    moves.append((f"{staging_rel}/{fn}", rel))
+                    moves.append((rel_f, rel))
                     adds.append({"path": rel, "bucket": None})
             self.store.finalize(moves)
         self.store.delete_dir(staging_rel)
@@ -912,6 +943,8 @@ class LakeTable:
         self,
         max_files_per_bucket: int = 1,
         sort_by: list[str] | None = None,
+        zorder: bool = False,
+        zorder_bits: int = 4,
     ) -> CommitResult:
         """OPTIMIZE: rewrite buckets whose file count exceeds the target
         into consolidated files (1 file per compacted bucket). The row set
@@ -928,7 +961,17 @@ class LakeTable:
         prune non-key predicates down to ~1 file per bucket. Run it off the
         ingest path when the read workload filters on a non-key column
         (e.g. a timestamp): without clustering, hash-bucketed writes give
-        every file the full value range and min/max stats never skip."""
+        every file the full value range and min/max stats never skip.
+
+        ``zorder=True`` upgrades 1-D clustering to TRUE multi-column
+        clustering: rows sort by a bit-interleaved Morton curve over the
+        ``sort_by`` columns (rank-normalized to a ``2**zorder_bits`` grid
+        per column via one approxQuantile pass — see lake/zorder.py), so
+        every output file covers a small hyper-rectangle of the value
+        space and zone maps prune scans on ANY of the clustered columns.
+        1-D sort makes the first column prune perfectly and the others not
+        at all; z-order makes them ALL prune at ~sqrt rates — the right
+        trade whenever the workload filters on more than one column."""
         snap = self.snapshot()
         total_rows = sum((m or {}).get("rows") or 0 for m in snap.files.values())
         if snap.num_buckets:
@@ -956,8 +999,18 @@ class LakeTable:
             if not victims:
                 return CommitResult(version=snap.version, summary={"files_compacted": 0})
             df = self._read_files(victims, snap.schema, files_meta=snap.files)
+            sort_exprs = sort_by
+            subpartition = None
+            if zorder and sort_by:
+                from .zorder import zorder_expr, zorder_slice_expr
+
+                zcol = zorder_expr(df, sort_by, zorder_bits)
+                sort_exprs = [zcol]
+                subpartition = zorder_slice_expr(
+                    zcol, len(sort_by), zorder_bits, max_files_per_bucket
+                )
             mrpf = None
-            if sort_by and max_files_per_bucket > 1 and total_rows:
+            if sort_by and not zorder and max_files_per_bucket > 1 and total_rows:
                 # size the slice off the LARGEST bucket so skewed buckets
                 # still respect the per-bucket file cap
                 rows_by_bucket: dict[int, int] = {}
@@ -971,8 +1024,9 @@ class LakeTable:
                 snap.num_buckets,
                 snap.key_cols,
                 files_per_bucket=1,
-                sort_by=sort_by,
+                sort_by=sort_exprs,
                 max_records_per_file=mrpf,
+                subpartition=subpartition,
             )
         else:
             victims = list(snap.files)
@@ -985,17 +1039,30 @@ class LakeTable:
             df = self._read_files(victims, snap.schema, files_meta=snap.files)
             if not sort_by:
                 df = df.coalesce(1)
+            sort_exprs = sort_by
+            subpartition = None
+            if zorder and sort_by:
+                from .zorder import zorder_expr, zorder_slice_expr
+
+                zcol = zorder_expr(df, sort_by, zorder_bits)
+                sort_exprs = [zcol]
+                subpartition = zorder_slice_expr(
+                    zcol, len(sort_by), zorder_bits, max_files_per_bucket
+                )
             adds = self._stage_dataframe(
                 df,
                 snap.schema,
                 None,
                 [],
                 files_per_bucket=max_files_per_bucket,
-                sort_by=sort_by,
+                sort_by=sort_exprs,
+                subpartition=subpartition,
             )
         summary = {"files_compacted": len(victims), "files_written": len(adds)}
         if sort_by:
             summary["clustered_by"] = list(sort_by)
+            if zorder:
+                summary["zorder"] = True
         return self.commit_rewrite(
             adds=adds,
             removes=victims,
