@@ -543,6 +543,58 @@ SELECT 'compacted' AS phase, o_orderkey, o_orderstatus, o_totalprice FROM kept
 """
 
 
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column clustering under the exact-oracle gate: compact with
+    zorder=True lays each bucket out along a Morton curve over
+    (o_custkey, o_totalprice), so zone maps prune scans on EITHER column —
+    a 1-D sort would prune only its lead column. The entry asserts
+    driver-side that a predicate on the SECOND clustered column skipped at
+    least one file (the layout claim), then returns both pruned reads for
+    the value-level oracle compare (reference tables get this from
+    Snowflake CLUSTER BY server-side; here lake/zorder.py provides it)."""
+    from techtalk_data_pipeline_snowpark_spark.lake.stats import prune_files
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="zorder_")
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "orders"),
+        orders.schema,
+        key_cols=["o_orderkey"],
+        num_buckets=4,
+    )
+    tbl.append(orders)
+    tbl.compact(
+        max_files_per_bucket=4, sort_by=["o_custkey", "o_totalprice"], zorder=True
+    )
+    cond_a = F.col("o_custkey") < 100
+    cond_b = F.col("o_totalprice") < 60000.0
+    snap = tbl.snapshot()
+    for name, cond in (("o_custkey", cond_a), ("o_totalprice", cond_b)):
+        kept = prune_files(snap.files, cond)
+        if len(kept) >= len(snap.files):
+            raise RuntimeError(
+                f"zorder zone maps pruned nothing on {name}: "
+                f"{len(kept)}/{len(snap.files)} files survived"
+            )
+    a = tbl.read_where(cond_a).withColumn("probe", F.lit("custkey"))
+    b = tbl.read_where(cond_b).withColumn("probe", F.lit("totalprice"))
+    return a.unionByName(b).select(
+        "probe", "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+_ZORDER_ORACLE = """
+SELECT 'custkey' AS probe, o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_custkey < 100
+UNION ALL
+SELECT 'totalprice' AS probe, o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_totalprice < 60000.0
+"""
+
+
 def equality_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equality deletes under the exact-oracle gate: the key set itself is
     committed (Iceberg v2 equality-delete shape — ZERO table scan, no
@@ -1402,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_expression_key": merge_expression_key,
         "time_travel_orders": time_travel_orders,
         "dv_delete_orders": dv_delete_orders,
+        "zorder_pruned_scan": zorder_pruned_scan,
         "equality_delete_orders": equality_delete_orders,
         "rebucket_orders": rebucket_orders,
         "ivm_orders_by_status": ivm_orders_by_status,
@@ -1445,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_expression_key": _MERGE_EXPR_ORACLE,
         "time_travel_orders": _TIME_TRAVEL_ORACLE,
         "dv_delete_orders": _DV_DELETE_ORACLE,
+        "zorder_pruned_scan": _ZORDER_ORACLE,
         "equality_delete_orders": _EQUALITY_DELETE_ORACLE,
         "rebucket_orders": _REBUCKET_ORACLE,
         "ivm_orders_by_status": _IVM_ORACLE,
