@@ -59,25 +59,27 @@ def _ci_map_lookup(parsed: Column, field: str) -> Column:
 
 
 def get_ignore_case(json_col: Column, field: str) -> Column:
-    """Case-insensitive JSON field extraction.
+    """Case-insensitive JSON field extraction — FULL, including nested
+    values.
 
-    The reference parses payloads with ``parse_json`` then extracts fields
-    case-insensitively (Implicits.scala:19). Spark's ``get_json_object`` is
-    case-sensitive, so parse the object to map<string,string> and probe the
-    entries case-insensitively — all JVM-side expressions.
+    The reference parses payloads with ``parse_json`` (→ Snowflake VARIANT)
+    then extracts fields case-insensitively (Implicits.scala:19). Spark's
+    ``get_json_object`` is case-sensitive, so parse the object to
+    map<string, variant> (Spark 4 VariantType — the open-source VARIANT)
+    and probe the entries case-insensitively; all JVM-side expressions.
 
-    Payloads whose values are nested objects/arrays cannot coerce to
-    map<string,string> (from_json nulls them out); for those, fall back to
-    direct JSONPath probes over the common casings of the field name — flat
-    extraction keeps working, with documented partial case-insensitivity.
+    The variant value casts to string with exactly the semantics we want:
+    scalars unquote (``"7"`` → ``7``, ``"x"`` → ``x`` — same shape the old
+    map<string,string> path produced), while nested objects/arrays render
+    back to their JSON text — so chained extraction
+    ``get_ignore_case(get_ignore_case(c, "outer"), "inner")`` walks nested
+    payloads case-insensitively at every level. The ``get_json_object``
+    fallback only matters for inputs the variant parser rejects outright.
     """
-    parsed = F.from_json(json_col, T.MapType(T.StringType(), T.StringType()))
+    parsed = F.from_json(json_col, T.MapType(T.StringType(), T.VariantType()))
     return F.coalesce(
-        _ci_map_lookup(parsed, field),
+        _ci_map_lookup(parsed, field).cast("string"),
         F.get_json_object(json_col, f"$.{field}"),
-        F.get_json_object(json_col, f"$.{field.lower()}"),
-        F.get_json_object(json_col, f"$.{field.upper()}"),
-        F.get_json_object(json_col, f"$.{field.capitalize()}"),
     )
 
 
@@ -89,23 +91,25 @@ def json_array_to_exploded_fields(
     Parity with ``jsonArrayToExplodedFields`` (Implicits.scala:27-38): the
     reference lands the raw REST payload (a JSON array) in one VARIANT
     column, lateral-flattens it, then per-field ``get_ignore_case`` + cast.
-    Spark-first: ``from_json`` with an ArrayType schema + ``explode`` —
-    JSON field name matching is case-insensitive because parsing options
-    default to the session's caseSensitive=false resolution... except
-    Jackson field binding IS case-sensitive, so we normalize by parsing to
-    map<string,string> first, lower-casing keys, then casting per-field.
+    Spark-first: ``from_json`` to array<map<string, variant>> + ``explode``
+    (Jackson field binding in a plain StructType parse would be
+    case-SENSITIVE; the entry probe is not). Variant values mean a record
+    carrying nested objects/arrays still parses — extra nested fields are
+    ignored and declared StringType fields receive the JSON text.
     """
     keep = [F.col(c) for c in (keep_cols or [])]
     parsed = df.select(
         *keep,
         F.explode(
-            F.from_json(F.col(json_col), T.ArrayType(T.MapType(T.StringType(), T.StringType())))
+            F.from_json(F.col(json_col), T.ArrayType(T.MapType(T.StringType(), T.VariantType())))
         ).alias("_rec"),
     )
     # per-field case-insensitive entry probe (see _ci_map_lookup: avoids the
-    # lowercased-key collision throw and ANSI element_at misses)
+    # lowercased-key collision throw and ANSI element_at misses); variant →
+    # string → declared type keeps the exact cast semantics the old
+    # map<string,string> path had
     fields = [
-        _ci_map_lookup(F.col("_rec"), f.name).cast(f.dataType).alias(f.name)
+        _ci_map_lookup(F.col("_rec"), f.name).cast("string").cast(f.dataType).alias(f.name)
         for f in schema.fields
     ]
     return parsed.select(*[F.col(c) for c in (keep_cols or [])], *fields)

@@ -141,8 +141,8 @@ def test_fused_normalize_and_canonicalize_parity(spark):
 
 def test_get_ignore_case_colliding_and_nested(spark):
     """ADVICE r1 edges: keys colliding after lowercasing must not throw
-    (first match in payload order wins), and nested-object payloads fall
-    back to JSONPath probes instead of nulling out."""
+    (first match in payload order wins), and nested-object payloads must not
+    poison sibling scalar extraction."""
     from techtalk_data_pipeline_snowpark_spark.functions.shims import get_ignore_case
 
     df = spark.createDataFrame(
@@ -156,7 +156,61 @@ def test_get_ignore_case_colliding_and_nested(spark):
     got = [r.x for r in df.select(get_ignore_case(F.col("j"), "k").alias("x")).collect()]
     assert got[0] == "1"  # first matching entry, no mapKeyDedupPolicy throw
     qty = [r.x for r in df.select(get_ignore_case(F.col("j"), "qty").alias("x")).collect()]
-    assert qty[1] == "7"  # nested payload → get_json_object fallback
+    assert qty[1] == "7"  # sibling nested value no longer poisons the parse
     assert qty[2] == "9"  # wrong casing still found via map probe
     missing = [r.x for r in df.select(get_ignore_case(F.col("j"), "absent").alias("x")).collect()]
     assert missing == [None, None, None]  # no ANSI element_at error
+
+
+def test_get_ignore_case_nested_values_full_ci(spark):
+    """r3 'missing #5' closed: case-insensitive extraction now reaches
+    NESTED object/array values (variant map parse — the old
+    map<string,string> path nulled them and only common-casing JSONPath
+    probes survived). Scalars keep their unquoted shape; nested values
+    come back as JSON text, so extraction chains level by level."""
+    from techtalk_data_pipeline_snowpark_spark.functions.shims import get_ignore_case
+
+    df = spark.createDataFrame(
+        [
+            ('{"UsEr": {"NaMe": "ada", "Id": 7}, "TaGs": [1, 2]}',),
+            ('{"user": {"name": "bob", "id": 8}}',),
+        ],
+        "j string",
+    )
+    user = get_ignore_case(F.col("j"), "uSeR")
+    rows = df.select(
+        user.alias("u"),
+        get_ignore_case(user, "nAmE").alias("n"),
+        get_ignore_case(user, "ID").alias("i"),
+        get_ignore_case(F.col("j"), "tags").alias("t"),
+    ).collect()
+    assert rows[0].n == "ada" and rows[0].i == "7"
+    assert rows[1].n == "bob" and rows[1].i == "8"
+    assert rows[0].t == "[1,2]" and rows[1].t is None
+    import json
+
+    assert json.loads(rows[0].u) == {"NaMe": "ada", "Id": 7}
+
+
+def test_json_array_records_tolerate_nested_extras(spark):
+    """A record carrying an extra NESTED field must still flatten its
+    declared scalar fields (old map<string,string> parse nulled the whole
+    record); a declared StringType field holding an object gets its JSON
+    text."""
+    schema = T.StructType(
+        [
+            T.StructField("orderCode", T.StringType()),
+            T.StructField("totPrice", T.DoubleType()),
+            T.StructField("meta", T.StringType()),
+        ]
+    )
+    payload = (
+        '[{"ORDERCODE": "A1", "totprice": 10.5, "Meta": {"src": "api"},'
+        ' "extra": [1, 2]}]'
+    )
+    df = spark.createDataFrame([(payload,)], ["response"])
+    r = json_array_to_exploded_fields(df, schema, "response").collect()[0]
+    assert (r.orderCode, r.totPrice) == ("A1", 10.5)
+    import json
+
+    assert json.loads(r.meta) == {"src": "api"}
