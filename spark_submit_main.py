@@ -55,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-every", type=int, default=None,
                    help="run table maintenance (small-file consolidation + "
                         "deletion-vector absorption) after every K epochs")
+    p.add_argument("--cluster-by", default=None,
+                   help="comma-separated columns to cluster on during "
+                        "--compact-every maintenance (zone-map layout)")
+    p.add_argument("--zorder", action="store_true",
+                   help="with --cluster-by a,b: multi-column Z-order layout "
+                        "instead of 1-D range sort")
     p.add_argument("--vacuum-retain", type=int, default=None,
                    help="after replay, vacuum data+metadata keeping the "
                         "last N versions of time travel")
@@ -97,6 +103,8 @@ def main(argv: list[str] | None = None) -> int:
     results = eng.replay(
         log, max_lsn=max_lsn, epoch_size=(max_lsn + args.epochs - 1) // args.epochs,
         compact_every=args.compact_every,
+        compact_sort_by=args.cluster_by.split(",") if args.cluster_by else None,
+        compact_zorder=args.zorder,
     )
     dt = time.time() - t0
     vacuumed = None

@@ -535,6 +535,8 @@ class CdcEngine:
         lineage: dict | None = None,
         compact_every: int | None = None,
         compact_max_files_per_bucket: int = 1,
+        compact_sort_by: list[str] | None = None,
+        compact_zorder: bool = False,
     ) -> list[EpochResult]:
         """Replay the whole event log in epochs; resumes from the last
         committed epoch automatically (reads the manifest — SURVEY.md §4
@@ -544,6 +546,10 @@ class CdcEngine:
         small-file consolidation + deletion-vector absorption) after every
         K applied epochs — the long-tail hygiene a continuous ingest needs
         so per-epoch files and MOR tombstones can't accumulate unboundedly.
+        ``compact_sort_by``/``compact_zorder`` additionally cluster the
+        rewritten buckets (1-D range or multi-column Z-order —
+        lake/zorder.py) so the ingest loop keeps the table laid out for
+        the read workload's zone-map pruning, not just small-file-free.
         Compaction is row-invariant and changelog-invisible, so resumed
         replays, competing replayers, and stream consumers are unaffected
         (the optimistic version pin simply retries if a compact lands
@@ -563,7 +569,9 @@ class CdcEngine:
 
                 try:
                     self.table().compact(
-                        max_files_per_bucket=compact_max_files_per_bucket
+                        max_files_per_bucket=compact_max_files_per_bucket,
+                        sort_by=compact_sort_by,
+                        zorder=compact_zorder,
                     )
                 except ConcurrentCommitError:
                     # a rival committed between our snapshot and the compact

@@ -531,6 +531,34 @@ def test_replay_with_periodic_compaction(spark, tmp_path):
     assert all(r.skipped for r in again)
 
 
+def test_replay_with_zorder_clustered_compaction(spark, tmp_path):
+    """compact_sort_by + compact_zorder on the ingest loop: maintenance
+    clusters the rewritten buckets on (lsn, ts) via the Morton curve while
+    staying row-invariant — the final state equals the plain replay, and
+    zone maps prune a predicate on the SECOND cluster column."""
+    from pyspark.sql import functions as F
+
+    from techtalk_data_pipeline_snowpark_spark.lake.stats import prune_files
+
+    ev = change_events(spark, N, n_repos=20, paths_per_repo=15, seed=7)
+    e_plain = CdcEngine(spark, str(tmp_path / "plain"), num_buckets=4)
+    e_plain.replay(ev, epoch_size=1000)
+    e_z = CdcEngine(spark, str(tmp_path / "z"), num_buckets=4)
+    e_z.replay(
+        ev,
+        epoch_size=1000,
+        compact_every=3,
+        compact_max_files_per_bucket=4,
+        compact_sort_by=["lsn", "ts"],
+        compact_zorder=True,
+    )
+    _assert_state_equal(_final_state_pdf(e_plain), _final_state_pdf(e_z))
+    snap = e_z.table().snapshot()
+    mid_ts = e_z.read_state().agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    kept = prune_files(snap.files, F.col("ts") > F.lit(mid_ts))
+    assert 0 < len(kept) < len(snap.files)
+
+
 def test_all_delete_epoch_equality_mode(spark, tmp_path):
     """all_delete_mode='equality' commits the key set with ZERO table scan
     — no data files touched, edv refs only — and converges to the same
