@@ -233,6 +233,7 @@ def main():
     queries_normalized = {
         k: round(v / probe_mean, 4) for k, v in timings.items()
     }
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "end-to-end CDC replay→merge + analytics suite wall time",
         "value": total,
