@@ -585,8 +585,17 @@ class CdcEngine:
         return self.table().read()
 
     def manifests(self) -> list[dict]:
+        """All RETAINED epoch manifests, oldest first. ``vacuum_metadata``
+        may have pruned log entries below the newest checkpoint horizon —
+        start from ``oldest_version()`` (the unguarded default start=1
+        crashed on the pruned reads; review finding). Manifests for pruned
+        epochs are gone with their log entries: consumers that reason about
+        LSN coverage (stream ordering detection, quarantine replay) must
+        treat the pre-horizon range as applied — the watermark only ever
+        advanced through committed epochs."""
+        t = self.table()
         out = []
-        for e in self.table().log_entries():
+        for e in t.log_entries(t.oldest_version()):
             m = e.get("properties", {}).get("cdc.manifest")
             if m:
                 d = json.loads(m)

@@ -43,10 +43,19 @@ def _range_covered(engine: CdcEngine, lo_excl: int, hi: int) -> bool:
     """True iff the union of committed epoch manifests' (lsn_from, lsn_to]
     intervals covers (lo_excl, hi]. Driver-side over the commit log — only
     consulted for the rare skipped/straddling batch, never per healthy
-    batch."""
+    batch.
+
+    ``vacuum_metadata`` prunes old log entries, so retained manifests may
+    start mid-stream. Everything at or below the oldest RETAINED
+    manifest's ``lsn_from`` was covered by construction (the watermark
+    advances only through contiguously-committed epochs, and those
+    manifests existed before pruning) — treat it as covered, else a
+    legitimate redelivery of an ancient range would raise falsely."""
     ivals = sorted(
         (int(m["lsn_from"]), int(m["lsn_to"])) for m in engine.manifests()
     )
+    if engine.table().oldest_version() > 1:
+        ivals.insert(0, (0, ivals[0][0] if ivals else engine.last_lsn()))
     cur = lo_excl
     for a, b in ivals:
         if a > cur:

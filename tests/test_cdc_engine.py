@@ -808,3 +808,34 @@ def test_replay_quarantined_roundtrip_and_vacuum(spark, tmp_path):
     assert eng.vacuum_quarantine(older_than_sec=10**6) == []   # too young
     assert eng.vacuum_quarantine(older_than_sec=-1) == ["epoch-50"]
     assert eng.quarantined_epochs() == []
+
+
+def test_manifests_survive_metadata_vacuum(spark, tmp_path):
+    """vacuum_metadata prunes log entries below the newest checkpoint;
+    manifests() must start from the retained horizon (the unguarded
+    start=1 read crashed on the pruned versions — review finding), and the
+    streaming ordering detector must treat the pre-horizon LSN range as
+    covered instead of raising on a legitimate ancient redelivery."""
+    from techtalk_data_pipeline_snowpark_spark.streaming.cdc_stream import (
+        _range_covered,
+    )
+
+    ev = change_events(spark, 1800, n_repos=6, paths_per_repo=10, seed=11)
+    eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=2)
+    # 18 epochs → >16 commits → a checkpoint exists → vacuum has a horizon
+    eng.replay(ev, max_lsn=1800, epoch_size=100)
+    n_before = len(eng.manifests())
+    assert n_before == 18
+
+    pruned = eng.table().vacuum_metadata(retain_versions=0)
+    assert pruned > 0
+    assert eng.table().oldest_version() > 1
+
+    retained = eng.manifests()          # crashed before the fix
+    assert 0 < len(retained) < n_before
+    # ancient range (pruned manifests), mid-straddle, and full coverage
+    assert _range_covered(eng, 0, 50)
+    assert _range_covered(eng, 0, eng.last_lsn())
+    assert _range_covered(eng, retained[0]["lsn_from"] - 10, retained[0]["lsn_to"])
+    # a range beyond the watermark is still not covered
+    assert not _range_covered(eng, 0, eng.last_lsn() + 5)
