@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--zorder", action="store_true",
                    help="with --cluster-by a,b: multi-column Z-order layout "
                         "instead of 1-D range sort")
+    p.add_argument("--bin-pack-rows", type=int, default=None,
+                   help="size-policy maintenance: --compact-every rewrites "
+                        "only files under this row target (plus tombstone "
+                        "carriers) instead of whole buckets — constant "
+                        "write amplification on a long ingest tail")
     p.add_argument("--vacuum-retain", type=int, default=None,
                    help="after replay, vacuum data+metadata keeping the "
                         "last N versions of time travel")
@@ -105,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
         compact_every=args.compact_every,
         compact_sort_by=args.cluster_by.split(",") if args.cluster_by else None,
         compact_zorder=args.zorder,
+        compact_bin_pack_rows=args.bin_pack_rows,
     )
     dt = time.time() - t0
     vacuumed = None

@@ -537,6 +537,7 @@ class CdcEngine:
         compact_max_files_per_bucket: int = 1,
         compact_sort_by: list[str] | None = None,
         compact_zorder: bool = False,
+        compact_bin_pack_rows: int | None = None,
     ) -> list[EpochResult]:
         """Replay the whole event log in epochs; resumes from the last
         committed epoch automatically (reads the manifest — SURVEY.md §4
@@ -546,6 +547,10 @@ class CdcEngine:
         small-file consolidation + deletion-vector absorption) after every
         K applied epochs — the long-tail hygiene a continuous ingest needs
         so per-epoch files and MOR tombstones can't accumulate unboundedly.
+        ``compact_bin_pack_rows=N`` switches maintenance to the size-based
+        bin-packing policy (only sub-target files rewrite — constant write
+        amplification per row over the table's lifetime, vs whole-bucket
+        rewrites growing with the bucket).
         ``compact_sort_by``/``compact_zorder`` additionally cluster the
         rewritten buckets (1-D range or multi-column Z-order —
         lake/zorder.py) so the ingest loop keeps the table laid out for
@@ -572,6 +577,7 @@ class CdcEngine:
                         max_files_per_bucket=compact_max_files_per_bucket,
                         sort_by=compact_sort_by,
                         zorder=compact_zorder,
+                        bin_pack_rows=compact_bin_pack_rows,
                     )
                 except ConcurrentCommitError:
                     # a rival committed between our snapshot and the compact

@@ -760,9 +760,12 @@ class LakeTable:
                     num_buckets * files_per_bucket, F.col("_b"), salt
                 ).write.partitionBy("_b").mode("overwrite").parquet(staging)
             else:
-                out.repartition(num_buckets, "_b").write.partitionBy("_b").mode(
-                    "overwrite"
-                ).parquet(staging)
+                writer = out.repartition(num_buckets, "_b").write
+                if max_records_per_file:
+                    writer = writer.option(
+                        "maxRecordsPerFile", int(max_records_per_file)
+                    )
+                writer.partitionBy("_b").mode("overwrite").parquet(staging)
             # recursive walk handles both flat `_b=X/*.parquet` layouts and
             # the zorder write's nested `_b=X/_zs=Y/*.parquet`
             moves: list[tuple[str, str]] = []
@@ -945,6 +948,7 @@ class LakeTable:
         sort_by: list[str] | None = None,
         zorder: bool = False,
         zorder_bits: int = 4,
+        bin_pack_rows: int | None = None,
     ) -> CommitResult:
         """OPTIMIZE: rewrite buckets whose file count exceeds the target
         into consolidated files (1 file per compacted bucket). The row set
@@ -971,7 +975,46 @@ class LakeTable:
         space and zone maps prune scans on ANY of the clustered columns.
         1-D sort makes the first column prune perfectly and the others not
         at all; z-order makes them ALL prune at ~sqrt rates — the right
-        trade whenever the workload filters on more than one column."""
+        trade whenever the workload filters on more than one column.
+
+        ``bin_pack_rows=N`` switches the victim policy from file-COUNT to
+        file-SIZE (Delta ``OPTIMIZE``'s bin-packing): only files smaller
+        than N rows — plus any file carrying DV/equality-delete refs,
+        whatever its size — are rewritten; files that already reached the
+        target are left in place. This is the mode the long ingest tail
+        wants: the count policy rewrites a whole victim bucket every pass,
+        so a bucket that grows forever pays write amplification
+        proportional to its SIZE per compaction (quadratic over the
+        table's lifetime), while bin-packing caps each row's total
+        rewrites at ~N/epoch_rows — a constant set by the target file
+        size, independent of how big the table gets. File count per bucket
+        is then bounded by bucket_rows/N, the floor any bounded-
+        amplification layout must accept. Mutually exclusive with
+        ``sort_by`` (clustering rewrites everything by design)."""
+        if bin_pack_rows and sort_by:
+            raise ValueError(
+                "bin_pack_rows is a size-policy consolidation; clustering "
+                "(sort_by/zorder) rewrites every file — use one or the other"
+            )
+
+        def _bin_victims(paths: list[str], files: dict) -> list[str]:
+            """Files worth rewriting under the size policy: sub-target or
+            tombstone-carrying (missing row stats count as sub-target —
+            one rewrite gains them). Returns [] when merging wouldn't
+            help: one plain small file and nothing to absorb."""
+            smalls = [
+                p
+                for p in paths
+                if ((files[p] or {}).get("rows") or 0) < bin_pack_rows
+                or (files[p] or {}).get("dv")
+                or (files[p] or {}).get("edv")
+            ]
+            has_refs = any(
+                (files[p] or {}).get("dv") or (files[p] or {}).get("edv")
+                for p in smalls
+            )
+            return smalls if (len(smalls) >= 2 or has_refs) else []
+
         snap = self.snapshot()
         total_rows = sum((m or {}).get("rows") or 0 for m in snap.files.values())
         if snap.num_buckets:
@@ -982,10 +1025,16 @@ class LakeTable:
             # files carries deletion vectors — compact absorbs DVs (the
             # DV-filtered read materializes live rows only; the refs die
             # with the removed files)
-            victims = (
-                list(snap.files)  # clustering rewrites everything
-                if sort_by
-                else [
+            if sort_by:
+                victims = list(snap.files)  # clustering rewrites everything
+            elif bin_pack_rows:
+                victims = [
+                    p
+                    for paths in by_bucket.values()
+                    for p in _bin_victims(paths, snap.files)
+                ]
+            else:
+                victims = [
                     p
                     for b, paths in by_bucket.items()
                     if len(paths) > max_files_per_bucket
@@ -995,7 +1044,6 @@ class LakeTable:
                     )
                     for p in paths
                 ]
-            )
             if not victims:
                 return CommitResult(version=snap.version, summary={"files_compacted": 0})
             df = self._read_files(victims, snap.schema, files_meta=snap.files)
@@ -1009,7 +1057,7 @@ class LakeTable:
                 subpartition = zorder_slice_expr(
                     zcol, len(sort_by), zorder_bits, max_files_per_bucket
                 )
-            mrpf = None
+            mrpf = bin_pack_rows or None
             if sort_by and not zorder and max_files_per_bucket > 1 and total_rows:
                 # size the slice off the LARGEST bucket so skewed buckets
                 # still respect the per-bucket file cap
@@ -1029,12 +1077,20 @@ class LakeTable:
                 subpartition=subpartition,
             )
         else:
-            victims = list(snap.files)
+            if bin_pack_rows:
+                victims = _bin_victims(list(snap.files), snap.files)
+            else:
+                victims = list(snap.files)
             has_dv = any(
-                (m or {}).get("dv") or (m or {}).get("edv")
-                for m in snap.files.values()
+                (snap.files[p] or {}).get("dv") or (snap.files[p] or {}).get("edv")
+                for p in victims
             )
-            if not sort_by and len(victims) <= max_files_per_bucket and not has_dv:
+            if not victims or (
+                not sort_by
+                and not bin_pack_rows
+                and len(victims) <= max_files_per_bucket
+                and not has_dv
+            ):
                 return CommitResult(version=snap.version, summary={"files_compacted": 0})
             df = self._read_files(victims, snap.schema, files_meta=snap.files)
             if not sort_by:
@@ -1057,12 +1113,15 @@ class LakeTable:
                 files_per_bucket=max_files_per_bucket,
                 sort_by=sort_exprs,
                 subpartition=subpartition,
+                max_records_per_file=bin_pack_rows or None,
             )
         summary = {"files_compacted": len(victims), "files_written": len(adds)}
         if sort_by:
             summary["clustered_by"] = list(sort_by)
             if zorder:
                 summary["zorder"] = True
+        if bin_pack_rows:
+            summary["bin_pack_rows"] = int(bin_pack_rows)
         return self.commit_rewrite(
             adds=adds,
             removes=victims,

@@ -839,3 +839,33 @@ def test_manifests_survive_metadata_vacuum(spark, tmp_path):
     assert _range_covered(eng, retained[0]["lsn_from"] - 10, retained[0]["lsn_to"])
     # a range beyond the watermark is still not covered
     assert not _range_covered(eng, 0, eng.last_lsn() + 5)
+
+
+def test_replay_with_bin_pack_maintenance(spark, tmp_path):
+    """compact_bin_pack_rows on the ingest loop: the final state is
+    identical to a plain replay, file counts stay bounded, and once a
+    merged file reaches the row target it is never rewritten again —
+    the constant-write-amplification property, asserted on real commits
+    by checking at-target file paths are stable across later passes."""
+    ev = change_events(spark, N, n_repos=20, paths_per_repo=15, seed=7)
+    e_plain = CdcEngine(spark, str(tmp_path / "plain"), num_buckets=8)
+    e_plain.replay(ev, epoch_size=1000)
+    e_bp = CdcEngine(spark, str(tmp_path / "bp"), num_buckets=8)
+    target = 20  # ~37 final rows/bucket at N=3000, 300 keys, 8 buckets
+    e_bp.replay(ev, epoch_size=1000, compact_every=1,
+                compact_bin_pack_rows=target)
+    _assert_state_equal(_final_state_pdf(e_plain), _final_state_pdf(e_bp))
+
+    t = e_bp.table()
+    snap = t.snapshot()
+    at_target = {
+        p for p, m in snap.files.items() if ((m or {}).get("rows") or 0) >= target
+    }
+    assert at_target, "expected some files to have reached the row target"
+    # another maintenance pass must not touch the at-target files
+    t.compact(bin_pack_rows=target)
+    assert at_target <= set(t.snapshot().files)
+    # and replay remains exactly-once across the maintenance commits
+    again = e_bp.replay(ev, epoch_size=1000, compact_every=1,
+                        compact_bin_pack_rows=target)
+    assert all(r.skipped for r in again)

@@ -559,3 +559,85 @@ def test_vacuum_reclaims_crash_leaked_staging_dirs(spark, tmp_table_root):
     assert not any(
         e.startswith(".staging-") for e in os.listdir(tmp_table_root)
     )
+
+
+def test_bin_pack_compact_leaves_target_files_alone(spark, tmp_table_root):
+    """Size-policy maintenance: files at/over the row target are NOT
+    rewritten (their paths survive the commit verbatim — the write-
+    amplification guarantee), sub-target files merge, rows are invariant
+    and the changelog sees nothing."""
+    t = LakeTable.create(
+        spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    # a big base: 400 rows → consolidate to 1 file/bucket (~200 rows each)
+    base = [(f"r{i}", f"p{i}", f"c{i}") for i in range(400)]
+    t.append(spark.createDataFrame(base, SCHEMA))
+    t.compact()
+    big_files = set(t.snapshot().files)
+    assert len(big_files) == 2
+    # a small-file tail: 5 appends of 4 rows
+    for i in range(5):
+        t.append(_df(spark, [(f"s{i}{j}", f"q{i}{j}", "x") for j in range(4)]))
+    v_before = t.latest_version()
+    assert len(t.snapshot().files) > len(big_files)
+
+    res = t.compact(bin_pack_rows=100)
+    snap = t.snapshot()
+    # the 100+-row files were untouched — identical paths still referenced
+    assert big_files <= set(snap.files)
+    assert res.summary["bin_pack_rows"] == 100
+    # smalls merged: at most one merged file per bucket joins the two bigs
+    assert len(snap.files) <= len(big_files) + 2
+    assert t.read().count() == 420
+    assert t.read_changelog(v_before).count() == 0
+    # steady state: nothing under target but the merged smalls themselves;
+    # a second pass with a single sub-target file per bucket is a no-op
+    assert t.compact(bin_pack_rows=100).summary["files_compacted"] == 0
+    # count-policy interplay is refused only for clustering
+    with pytest.raises(ValueError):
+        t.compact(bin_pack_rows=100, sort_by=["content"])
+
+
+def test_bin_pack_compact_absorbs_tombstones_whatever_the_size(spark, tmp_table_root):
+    """A file carrying DV/equality-delete refs is rewritten even when it
+    is over the size target — bin-packing must still absorb tombstones."""
+    from techtalk_data_pipeline_snowpark_spark.lake.merge import delete
+
+    t = LakeTable.create(
+        spark, tmp_table_root, SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    t.append(spark.createDataFrame(
+        [(f"r{i}", f"p{i}", f"c{i}") for i in range(300)], SCHEMA
+    ))
+    t.compact()
+    delete(t, F.col("repo") == "r7", mode="mor")
+    assert any((m or {}).get("dv") for m in t.snapshot().files.values())
+
+    res = t.compact(bin_pack_rows=10)  # every file is over-target
+    assert res.summary["files_compacted"] >= 1
+    snap = t.snapshot()
+    assert not any(
+        (m or {}).get("dv") or (m or {}).get("edv") for m in snap.files.values()
+    )
+    assert t.read().count() == 299
+    got = {r.repo for r in t.read().collect()}
+    assert "r7" not in got and "r8" in got
+
+
+def test_bin_pack_compact_unbucketed(spark, tmp_table_root):
+    """Unbucketed tables bin-pack too: sub-target files merge, the
+    at-target file survives in place."""
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA)
+    t.append(spark.createDataFrame(
+        [(f"r{i}", f"p{i}", "c") for i in range(200)], SCHEMA
+    ))
+    t.compact()
+    big = set(t.snapshot().files)
+    for i in range(4):
+        t.append(_df(spark, [(f"s{i}", f"q{i}", "x")]))
+    res = t.compact(bin_pack_rows=50)
+    snap = t.snapshot()
+    assert big <= set(snap.files)
+    assert res.summary["files_compacted"] >= 4  # tiny appends may span parts
+    assert len(snap.files) == len(big) + 1
+    assert t.read().count() == 204
