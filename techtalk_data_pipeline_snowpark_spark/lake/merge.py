@@ -283,7 +283,12 @@ def merge_into(
 
     result = joined.where(~drop).select(*result_cols)
 
-    adds = table._stage_dataframe(result, schema, snap.num_buckets, snap.key_cols)
+    adds = table._stage_dataframe(
+        result, schema, snap.num_buckets, snap.key_cols,
+        # persisted-clustering stamp: touched buckets rewrite SORTED so the
+        # compact's zone-map layout survives DML (no-op without the stamp)
+        **table.cluster_write_args(snap, removes=touched_files, schema=schema),
+    )
     m = _observed_metrics(obs, adds, pre_observe, metric_exprs)
     summary = {
         "rows_inserted": int(m.get("inserted") or 0),
@@ -590,7 +595,10 @@ def _rewrite_matching_files(
             else:
                 out_cols.append(F.col(f.name))
         out = flagged.select(*out_cols)
-    adds = table._stage_dataframe(out, schema, snap.num_buckets, snap.key_cols)
+    adds = table._stage_dataframe(
+        out, schema, snap.num_buckets, snap.key_cols,
+        **table.cluster_write_args(snap, removes=rel_hits, schema=schema),
+    )
     m = _observed_metrics(obs, adds, pre_observe, metric_exprs)
     summary = {
         "rows_affected": int(m.get("matched") or 0),

@@ -67,6 +67,13 @@ CHECKPOINT_EVERY = 16
 
 
 PROP_BUCKET_HASH = "lake.bucket_hash"
+# Persisted clustering stamp (set by a clustered compact): JSON
+# {"cols": [...], "zorder": bool, "bits": int, "cuts": [[...], ...],
+#  "target_files": int}. Writers that rewrite whole buckets (MERGE /
+# UPDATE / DELETE) consult it via cluster_write_args() so the layout the
+# reads depend on SURVIVES the ingest loop instead of decaying until the
+# next compact.
+PROP_CLUSTER_BY = "lake.cluster_by"
 BUCKET_HASH_V2 = "long-normalized"
 
 _NUMERIC_KEY_TYPES = (
@@ -949,6 +956,7 @@ class LakeTable:
         zorder: bool = False,
         zorder_bits: int = 4,
         bin_pack_rows: int | None = None,
+        persist_clustering: bool = True,
     ) -> CommitResult:
         """OPTIMIZE: rewrite buckets whose file count exceeds the target
         into consolidated files (1 file per compacted bucket). The row set
@@ -1049,10 +1057,18 @@ class LakeTable:
             df = self._read_files(victims, snap.schema, files_meta=snap.files)
             sort_exprs = sort_by
             subpartition = None
+            cluster_cuts = None
             if zorder and sort_by:
-                from .zorder import zorder_expr, zorder_slice_expr
+                from .zorder import (
+                    zorder_cuts,
+                    zorder_expr_from_cuts,
+                    zorder_slice_expr,
+                )
 
-                zcol = zorder_expr(df, sort_by, zorder_bits)
+                cluster_cuts = zorder_cuts(df, sort_by, zorder_bits)
+                zcol = zorder_expr_from_cuts(
+                    snap.schema, sort_by, cluster_cuts, zorder_bits
+                )
                 sort_exprs = [zcol]
                 subpartition = zorder_slice_expr(
                     zcol, len(sort_by), zorder_bits, max_files_per_bucket
@@ -1097,10 +1113,18 @@ class LakeTable:
                 df = df.coalesce(1)
             sort_exprs = sort_by
             subpartition = None
+            cluster_cuts = None
             if zorder and sort_by:
-                from .zorder import zorder_expr, zorder_slice_expr
+                from .zorder import (
+                    zorder_cuts,
+                    zorder_expr_from_cuts,
+                    zorder_slice_expr,
+                )
 
-                zcol = zorder_expr(df, sort_by, zorder_bits)
+                cluster_cuts = zorder_cuts(df, sort_by, zorder_bits)
+                zcol = zorder_expr_from_cuts(
+                    snap.schema, sort_by, cluster_cuts, zorder_bits
+                )
                 sort_exprs = [zcol]
                 subpartition = zorder_slice_expr(
                     zcol, len(sort_by), zorder_bits, max_files_per_bucket
@@ -1116,10 +1140,25 @@ class LakeTable:
                 max_records_per_file=bin_pack_rows or None,
             )
         summary = {"files_compacted": len(victims), "files_written": len(adds)}
+        properties = None
         if sort_by:
             summary["clustered_by"] = list(sort_by)
             if zorder:
                 summary["zorder"] = True
+            if persist_clustering:
+                # stamp the layout so bucket-rewriting writers (MERGE /
+                # UPDATE / DELETE, via cluster_write_args) keep it — the
+                # z-order grid travels as its cut points, so no writer
+                # ever pays the quantile scan again
+                spec: dict = {
+                    "cols": list(sort_by),
+                    "zorder": bool(zorder),
+                    "target_files": int(max_files_per_bucket),
+                }
+                if zorder:
+                    spec["bits"] = int(zorder_bits)
+                    spec["cuts"] = cluster_cuts
+                properties = {PROP_CLUSTER_BY: json.dumps(spec)}
         if bin_pack_rows:
             summary["bin_pack_rows"] = int(bin_pack_rows)
         return self.commit_rewrite(
@@ -1127,8 +1166,69 @@ class LakeTable:
             removes=victims,
             operation="compact",
             summary=summary,
+            properties=properties,
             expected_version=snap.version + 1,
         )
+
+    def cluster_write_args(
+        self,
+        snap: "Snapshot",
+        removes: list[str] | None = None,
+        schema: T.StructType | None = None,
+    ) -> dict:
+        """Staging kwargs that keep a bucket rewrite laid out per the
+        persisted clustering stamp (``lake.cluster_by``) — ``{}`` when the
+        table has none (every existing caller stays byte-identical).
+
+        This is what lets clustering SURVIVE the ingest loop: without it,
+        every MERGE/UPDATE/DELETE writes its touched buckets unsorted and
+        zone-map pruning decays until the next full recluster (the
+        Delta/Iceberg behavior — OPTIMIZE output degrades as DML lands).
+        With the stamp, rewrites sort in-task on the cluster key (z-value
+        for multi-column stamps, rebuilt from the PERSISTED cut points —
+        no quantile rescan) and split at the same per-file target, so the
+        files a rewrite produces prune exactly like the compact's did.
+        The cost is one in-task external sort of data the rewrite was
+        writing anyway. If the schema drifted past the stamp (a cluster
+        column dropped), writes fall back to unclustered rather than fail."""
+        raw = snap.properties.get(PROP_CLUSTER_BY)
+        if not raw:
+            return {}
+        try:
+            spec = json.loads(raw)
+        except (TypeError, ValueError):
+            return {}
+        schema = schema if schema is not None else snap.schema
+        cols = spec.get("cols") or []
+        names = {f.name.lower() for f in schema.fields}
+        if not cols or not all(c.lower() in names for c in cols):
+            return {}
+        tf = max(1, int(spec.get("target_files") or 1))
+        if spec.get("zorder"):
+            from .zorder import zorder_expr_from_cuts, zorder_slice_expr
+
+            z = zorder_expr_from_cuts(
+                schema, cols, spec["cuts"], int(spec["bits"])
+            )
+            return {
+                "sort_by": [z],
+                "subpartition": zorder_slice_expr(
+                    z, len(cols), int(spec["bits"]), tf
+                ),
+            }
+        out: dict = {"sort_by": list(cols), "files_per_bucket": tf}
+        if tf > 1 and removes:
+            # size the slice off the largest REWRITTEN bucket, mirroring
+            # the clustered compact's skew rule
+            rows_by_bucket: dict = {}
+            for p in removes:
+                m = snap.files.get(p) or {}
+                b = m.get("bucket")
+                rows_by_bucket[b] = rows_by_bucket.get(b, 0) + (m.get("rows") or 0)
+            biggest = max(rows_by_bucket.values(), default=0)
+            if biggest > 0:
+                out["max_records_per_file"] = -(-biggest // tf)
+        return out
 
     def rebucket(self, num_buckets: int) -> CommitResult:
         """Bucket-count evolution (Iceberg partition-spec evolution, scoped

@@ -81,24 +81,30 @@ def _cell_expr(numeric: Column, cuts: list[float]) -> Column:
     return cell
 
 
-def zorder_expr(
-    df: DataFrame, cols: list[str], bits_per_col: int = 4
-) -> Column:
-    """Build the z-value Column for ``cols`` over ``df``'s distribution.
-
-    Runs one approxQuantile pass on ``df`` (driver gets ``2**bits_per_col``
-    cut points per column), returns a pure-JVM integer expression usable as
-    a sort key against any DataFrame carrying the same column names."""
-    if len(cols) < 2:
-        raise ValueError("zorder needs >= 2 columns (use plain sort_by for 1)")
-    n_cells = 1 << bits_per_col
-    by_name = {f.name.lower(): f.dataType for f in df.schema.fields}
+def _numerics_for(schema: T.StructType, cols: list[str]) -> list[Column]:
+    by_name = {f.name.lower(): f.dataType for f in schema.fields}
     numerics = []
     for c in cols:
         dt = by_name.get(c.lower())
         if dt is None:
             raise ValueError(f"zorder: unknown column {c!r}")
         numerics.append(_numeric_view(c, dt))
+    return numerics
+
+
+def zorder_cuts(
+    df: DataFrame, cols: list[str], bits_per_col: int = 4
+) -> list[list[float]]:
+    """One approxQuantile pass over ``df`` → per-column cut points (the
+    rank-normalization grid). The driver result is tiny
+    (``cols × (2**bits_per_col - 1)`` floats) and JSON-serializable, so a
+    table can PERSIST it (``lake.cluster_by`` property) and later writers
+    can rebuild the identical curve without rescanning — slightly stale
+    quantiles still cluster; the grid just drifts off the true ranks."""
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns (use plain sort_by for 1)")
+    n_cells = 1 << bits_per_col
+    numerics = _numerics_for(df.schema, cols)
     probs = [i / n_cells for i in range(1, n_cells)]
     qdf = df.select(
         *[num.alias(f"_zq{i}") for i, num in enumerate(numerics)]
@@ -106,8 +112,8 @@ def zorder_expr(
     all_cuts = qdf.approxQuantile(
         [f"_zq{i}" for i in range(len(cols))], probs, 0.001
     )
-    cell_exprs = []
-    for num, cuts in zip(numerics, all_cuts):
+    out: list[list[float]] = []
+    for cuts in all_cuts:
         # skew dedupe: a heavy value repeats across quantiles — identical
         # cuts collapse into one boundary (its mass shares a cell, which is
         # the best any total-order layout can do for one value)
@@ -115,7 +121,23 @@ def zorder_expr(
         for v in cuts:
             if v is not None and (not uniq or v > uniq[-1]):
                 uniq.append(v)
-        cell_exprs.append(_cell_expr(num, uniq))
+        out.append(uniq)
+    return out
+
+
+def zorder_expr_from_cuts(
+    schema: T.StructType,
+    cols: list[str],
+    all_cuts: list[list[float]],
+    bits_per_col: int = 4,
+) -> Column:
+    """The pure-JVM z-value Column from precomputed cut points — usable
+    against any DataFrame carrying the same column names/types (merge
+    rewrites reuse a compact's persisted cuts this way)."""
+    cell_exprs = [
+        _cell_expr(num, cuts)
+        for num, cuts in zip(_numerics_for(schema, cols), all_cuts)
+    ]
     # bit-interleave: z = ... b1 a1 b0 a0 (bit i of column j lands at
     # position i*len(cols)+j) — the standard Morton encoding
     z: Column = F.lit(0)
@@ -128,6 +150,19 @@ def zorder_expr(
                 )
             )
     return z.alias("_zorder")
+
+
+def zorder_expr(
+    df: DataFrame, cols: list[str], bits_per_col: int = 4
+) -> Column:
+    """Build the z-value Column for ``cols`` over ``df``'s distribution.
+
+    Runs one approxQuantile pass on ``df`` (driver gets ``2**bits_per_col``
+    cut points per column), returns a pure-JVM integer expression usable as
+    a sort key against any DataFrame carrying the same column names."""
+    return zorder_expr_from_cuts(
+        df.schema, cols, zorder_cuts(df, cols, bits_per_col), bits_per_col
+    )
 
 
 def zorder_slice_expr(

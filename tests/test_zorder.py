@@ -146,3 +146,79 @@ def test_zorder_unbucketed_table(spark, tmp_table_root):
         assert 0 < len(kept) <= 2, (col, len(kept))
     got = {(r.a, r.b) for r in t.read_where(F.col("a") == 7).collect()}
     assert got == {(7, b) for b in range(64)}
+
+
+def test_clustering_survives_merge(spark, tmp_table_root):
+    """The lake.cluster_by stamp makes MERGE rewrites preserve the z-order
+    layout: after an upsert into every bucket, predicates on EITHER
+    clustered column still prune to a fraction of each rewritten bucket's
+    files, file counts stay at the compact's target, and reads are exact."""
+    from techtalk_data_pipeline_snowpark_spark.lake import merge_into
+
+    t = _grid_table(spark, tmp_table_root, ["a", "b"], zorder=True)
+    import json as _json
+    from techtalk_data_pipeline_snowpark_spark.lake.table import PROP_CLUSTER_BY
+
+    spec = _json.loads(t.snapshot().properties[PROP_CLUSTER_BY])
+    assert spec["zorder"] and spec["cols"] == ["a", "b"] and spec["cuts"]
+
+    # upsert rows spread across the whole key range — every bucket rewrites
+    src = (
+        spark.range(0, 64 * 64, 7)
+        .withColumnRenamed("id", "k")
+        .withColumn("a", F.col("k") % 64)
+        .withColumn("b", (F.col("k") / F.lit(64)).cast("long"))
+    )
+    merge_into(
+        t, src, on=["k"],
+        when_matched_update={"a": F.col("s.a"), "b": F.col("s.b")},
+        when_not_matched_insert=True,
+    )
+    snap = t.snapshot()
+    by_bucket: dict = {}
+    for m in snap.files.values():
+        by_bucket[m["bucket"]] = by_bucket.get(m["bucket"], 0) + 1
+    assert all(n <= 4 for n in by_bucket.values()), by_bucket
+    for col in ("a", "b"):
+        per_bucket = _files_per_bucket_matching(snap, F.col(col) == 7)
+        assert per_bucket, f"predicate on {col} pruned everything"
+        assert all(n <= 2 for n in per_bucket.values()), (col, per_bucket)
+    assert t.read().count() == 64 * 64
+    got = {(r.k, r.a, r.b) for r in t.read_where(F.col("a") == 7).collect()}
+    assert got == {(7 + 64 * i, 7, i) for i in range(64)}
+
+
+def test_clustering_survives_update_delete_1d(spark, tmp_table_root):
+    """1-D stamps survive DML too: an UPDATE rewrite keeps range-disjoint
+    files per bucket at the compact's file target."""
+    from techtalk_data_pipeline_snowpark_spark.lake.merge import update
+
+    t = _grid_table(spark, tmp_table_root, ["a"], zorder=False)
+    snap0 = t.snapshot()
+    assert all(
+        n <= 4 for n in
+        __import__("collections").Counter(
+            m["bucket"] for m in snap0.files.values()
+        ).values()
+    )
+    update(t, {"b": F.col("b") + 1000}, F.col("a") == 3)
+    snap = t.snapshot()
+    per_bucket = _files_per_bucket_matching(snap, F.col("a") == 9)
+    assert per_bucket and all(n <= 1 for n in per_bucket.values()), per_bucket
+    assert t.read().count() == 64 * 64
+    assert t.read_where(F.col("a") == 3).agg(F.min("b")).first()[0] >= 1000
+
+
+def test_unstamped_table_merges_unchanged(spark, tmp_table_root):
+    """No stamp → cluster_write_args is {} and DML behaves exactly as
+    before (regression guard for the default path)."""
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key_cols=["k"], num_buckets=2)
+    t.append(spark.range(100).withColumnRenamed("id", "k")
+             .withColumn("a", F.col("k")).withColumn("b", F.col("k")))
+    assert t.cluster_write_args(t.snapshot()) == {}
+    from techtalk_data_pipeline_snowpark_spark.lake import merge_into
+    src = (spark.range(5).withColumnRenamed("id", "k")
+           .withColumn("a", F.lit(1)).withColumn("b", F.lit(2)))
+    merge_into(t, src, on=["k"], when_matched_update={"a": F.col("s.a")},
+               when_not_matched_insert=True)
+    assert t.read().count() == 100
