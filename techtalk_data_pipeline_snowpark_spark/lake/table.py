@@ -1025,6 +1025,27 @@ class LakeTable:
 
         snap = self.snapshot()
         total_rows = sum((m or {}).get("rows") or 0 for m in snap.files.values())
+        summary_stamped = False
+
+        def _stamp_target() -> int:
+            """Per-bucket file target the persisted clustering stamp was
+            written with — its range-disjoint slices are layout, not
+            fragmentation, so the count policy must not treat a freshly
+            stamped bucket as a victim (or every compact() rewrites the
+            whole stamped table forever)."""
+            try:
+                return max(
+                    1,
+                    int(
+                        json.loads(snap.properties[PROP_CLUSTER_BY]).get(
+                            "target_files"
+                        )
+                        or 1
+                    ),
+                )
+            except (KeyError, TypeError, ValueError):
+                return 1
+
         if snap.num_buckets:
             by_bucket: dict[int, list[str]] = {}
             for p, m in snap.files.items():
@@ -1042,10 +1063,13 @@ class LakeTable:
                     for p in _bin_victims(paths, snap.files)
                 ]
             else:
+                target = max_files_per_bucket
+                if self.cluster_write_args(snap):
+                    target = max(target, _stamp_target())
                 victims = [
                     p
                     for b, paths in by_bucket.items()
-                    if len(paths) > max_files_per_bucket
+                    if len(paths) > target
                     or any(
                         snap.files[p].get("dv") or snap.files[p].get("edv")
                         for p in paths
@@ -1082,6 +1106,21 @@ class LakeTable:
                     b = (m or {}).get("bucket")
                     rows_by_bucket[b] = rows_by_bucket.get(b, 0) + ((m or {}).get("rows") or 0)
                 mrpf = -(-max(rows_by_bucket.values()) // max_files_per_bucket)
+            if not sort_by:
+                # no explicit clustering asked: keep the PERSISTED layout
+                # (lake.cluster_by) instead of un-sorting the victims — a
+                # maintenance pass must not undo what DML preserves. Bin-
+                # packing keeps its row-target splitting (merged smalls are
+                # sorted but split by size, not by z-subcube).
+                stamp = self.cluster_write_args(snap, removes=victims)
+                if stamp:
+                    sort_exprs = stamp["sort_by"]
+                    subpartition = stamp.get("subpartition")
+                    if bin_pack_rows:
+                        subpartition = None
+                    else:
+                        mrpf = stamp.get("max_records_per_file")
+                    summary_stamped = True
             adds = self._stage_dataframe(
                 df,
                 snap.schema,
@@ -1097,6 +1136,10 @@ class LakeTable:
                 victims = _bin_victims(list(snap.files), snap.files)
             else:
                 victims = list(snap.files)
+            stamp = {} if sort_by else self.cluster_write_args(snap, removes=victims)
+            target = max_files_per_bucket
+            if stamp:
+                target = max(target, _stamp_target())
             has_dv = any(
                 (snap.files[p] or {}).get("dv") or (snap.files[p] or {}).get("edv")
                 for p in victims
@@ -1104,16 +1147,28 @@ class LakeTable:
             if not victims or (
                 not sort_by
                 and not bin_pack_rows
-                and len(victims) <= max_files_per_bucket
+                and len(victims) <= target
                 and not has_dv
             ):
                 return CommitResult(version=snap.version, summary={"files_compacted": 0})
             df = self._read_files(victims, snap.schema, files_meta=snap.files)
-            if not sort_by:
+            if not sort_by and not stamp:
                 df = df.coalesce(1)
             sort_exprs = sort_by
             subpartition = None
             cluster_cuts = None
+            files_per_bucket = max_files_per_bucket
+            mrpf = bin_pack_rows or None
+            if stamp:
+                # keep the persisted layout (see the bucketed branch)
+                sort_exprs = stamp["sort_by"]
+                subpartition = stamp.get("subpartition")
+                if bin_pack_rows:
+                    subpartition = None
+                else:
+                    files_per_bucket = stamp.get("files_per_bucket") or target
+                    mrpf = stamp.get("max_records_per_file")
+                summary_stamped = True
             if zorder and sort_by:
                 from .zorder import (
                     zorder_cuts,
@@ -1134,12 +1189,14 @@ class LakeTable:
                 snap.schema,
                 None,
                 [],
-                files_per_bucket=max_files_per_bucket,
+                files_per_bucket=files_per_bucket,
                 sort_by=sort_exprs,
                 subpartition=subpartition,
-                max_records_per_file=bin_pack_rows or None,
+                max_records_per_file=mrpf,
             )
         summary = {"files_compacted": len(victims), "files_written": len(adds)}
+        if summary_stamped:
+            summary["clustering_preserved"] = True
         properties = None
         if sort_by:
             summary["clustered_by"] = list(sort_by)

@@ -209,6 +209,69 @@ def test_clustering_survives_update_delete_1d(spark, tmp_table_root):
     assert t.read_where(F.col("a") == 3).agg(F.min("b")).first()[0] >= 1000
 
 
+def test_plain_compact_preserves_stamp(spark, tmp_table_root):
+    """A maintenance compact() with no sort_by must keep the persisted
+    z-order layout: fragmenting appends then a plain compact leaves every
+    bucket at the stamp's file target with multi-column pruning intact —
+    and a second compact() is a no-op (the stamp's range-disjoint slices
+    are layout, not fragmentation)."""
+    t = _grid_table(spark, tmp_table_root, ["a", "b"], zorder=True)
+    # fragment: a few small appends land unclustered files in each bucket
+    for i in range(3):
+        extra = (
+            spark.range(64 * 64 + i * 100, 64 * 64 + (i + 1) * 100)
+            .withColumnRenamed("id", "k")
+            .withColumn("a", F.col("k") % 64)
+            .withColumn("b", (F.col("k") / F.lit(64)).cast("long"))
+        )
+        t.append(extra)
+    res = t.compact()  # no sort_by: must follow the stamp, not unsort
+    assert res.summary.get("clustering_preserved") is True
+    snap = t.snapshot()
+    by_bucket: dict = {}
+    for m in snap.files.values():
+        by_bucket[m["bucket"]] = by_bucket.get(m["bucket"], 0) + 1
+    assert all(n <= 4 for n in by_bucket.values()), by_bucket
+    for col in ("a", "b"):
+        per_bucket = _files_per_bucket_matching(snap, F.col(col) == 7)
+        assert per_bucket, f"predicate on {col} pruned everything"
+        assert all(n <= 2 for n in per_bucket.values()), (col, per_bucket)
+    assert t.read().count() == 64 * 64 + 300
+    got = {r.k for r in t.read_where(F.col("a") == 7).collect()}
+    want = {r.k for r in t.read().filter(F.col("a") == 7).collect()}
+    assert got == want and got
+    # idempotence: the stamped layout is already at target — no rewrite
+    res2 = t.compact()
+    assert res2.summary == {"files_compacted": 0}
+
+
+def test_plain_compact_preserves_stamp_unbucketed(spark, tmp_table_root):
+    """Same guarantee on an unbucketed table: plain compact() keeps the
+    stamped multi-column layout instead of coalescing to one file."""
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
+    )
+    t = LakeTable.create(spark, tmp_table_root, schema)
+    df = (
+        spark.range(64 * 64)
+        .withColumn("a", F.col("id") % 64)
+        .withColumn("b", (F.col("id") / F.lit(64)).cast("long"))
+        .drop("id")
+    )
+    t.append(df)
+    t.compact(max_files_per_bucket=4, sort_by=["a", "b"], zorder=True)
+    t.append(spark.range(5).withColumn("a", F.lit(1)).withColumn("b", F.lit(2)).drop("id"))
+    res = t.compact()
+    assert res.summary.get("clustering_preserved") is True
+    snap = t.snapshot()
+    assert len(snap.files) <= 4
+    for col in ("a", "b"):
+        kept = prune_files(snap.files, F.col(col) == 9)
+        assert 0 < len(kept) <= 2, (col, len(kept))
+    assert t.read().count() == 64 * 64 + 5
+    assert t.compact().summary == {"files_compacted": 0}
+
+
 def test_unstamped_table_merges_unchanged(spark, tmp_table_root):
     """No stamp → cluster_write_args is {} and DML behaves exactly as
     before (regression guard for the default path)."""
