@@ -501,6 +501,76 @@ SELECT 'current' AS snapshot, o_orderkey, o_orderstatus, o_totalprice FROM (
 """
 
 
+def wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (Iceberg branch refs on the lake log): a MERGE
+    lands on a BRANCH (metadata fork, shared data files), an audit reads
+    the branch while main still serves the pre-merge snapshot, then
+    publish_branch squashes the branch's net delta into ONE atomic commit
+    on main. A second branch holding garbage is dropped unpublished — its
+    rows must never reach main. Reference parity: the reference audits the
+    Snowflake stream's contents before INSERT (DataLoader.scala:21-38);
+    WAP moves the audit between merge and visibility."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="wap_")
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "orders"),
+        orders.schema,
+        key_cols=["o_orderkey"],
+        num_buckets=8,
+    )
+    tbl.append(orders)
+    pre_version = tbl.latest_version()
+
+    # audited branch: reprice finished orders, insert synthetic priority rows
+    src = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.05)
+        .withColumn("o_orderstatus", F.lit("A"))
+        .unionByName(
+            orders.where(
+                (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 250000)
+            )
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    br = tbl.create_branch("audit")
+    merge_into(
+        br, src, on=["o_orderkey"], when_matched_update="all",
+        when_not_matched_insert=True,
+    )
+    # failed-audit branch: rows that must never become visible
+    bad = tbl.create_branch("bad")
+    bad.append(
+        orders.limit(100).withColumn("o_orderkey", F.col("o_orderkey") + 20_000_000)
+    )
+    tbl.drop_branch("bad")
+
+    # the audit gate: main is still pre-merge while the branch has it all
+    assert tbl.latest_version() == pre_version
+    tbl.publish_branch("audit")
+    return tbl.read().select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_WAP_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey, 'A' AS o_orderstatus, o_totalprice * 1.05 AS o_totalprice
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', o_totalprice
+  FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 250000
+)
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+       COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+"""
+
+
 def dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read deletes + clustered compaction under the exact-oracle
     gate. DELETE in mode='mor' commits DELETION VECTORS only — positional
@@ -1453,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crud_update_delete": crud_update_delete,
         "merge_expression_key": merge_expression_key,
         "time_travel_orders": time_travel_orders,
+        "wap_publish_orders": wap_publish_orders,
         "dv_delete_orders": dv_delete_orders,
         "zorder_pruned_scan": zorder_pruned_scan,
         "equality_delete_orders": equality_delete_orders,
@@ -1497,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
         "crud_update_delete": _CRUD_ORACLE,
         "merge_expression_key": _MERGE_EXPR_ORACLE,
         "time_travel_orders": _TIME_TRAVEL_ORACLE,
+        "wap_publish_orders": _WAP_ORACLE,
         "dv_delete_orders": _DV_DELETE_ORACLE,
         "zorder_pruned_scan": _ZORDER_ORACLE,
         "equality_delete_orders": _EQUALITY_DELETE_ORACLE,

@@ -59,6 +59,12 @@ from .store import PosixStore, TableStore
 
 LOG_DIR = "_log"
 DATA_DIR = "data"
+# Branch logs live beside the main log, one directory per branch; data
+# files are SHARED with main (uuid-named under data/), so creating,
+# writing, and publishing a branch never copies data — publish is one
+# metadata commit, Iceberg's write-audit-publish shape.
+BRANCHES_DIR = "_branches"
+TAGS_DIR = "_tags"
 # Snapshot checkpoint cadence: every K commits the full table state is
 # written alongside the log. K bounds both the replay work per snapshot()
 # and the wasted work when a checkpoint write loses a race (it's an
@@ -74,6 +80,11 @@ PROP_BUCKET_HASH = "lake.bucket_hash"
 # reads depend on SURVIVES the ingest loop instead of decaying until the
 # next compact.
 PROP_CLUSTER_BY = "lake.cluster_by"
+# Branch lineage stamp, set by create_branch on the branch's seed commit:
+# the main-table version the branch forked from. publish_branch diffs the
+# branch head against THIS snapshot (read from the branch's own seeded
+# checkpoint, so it survives main-side metadata vacuum).
+PROP_BRANCH_BASE = "lake.branch.base"
 BUCKET_HASH_V2 = "long-normalized"
 
 _NUMERIC_KEY_TYPES = (
@@ -153,12 +164,22 @@ class ConcurrentCommitError(RuntimeError):
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str, store: TableStore | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        store: TableStore | None = None,
+        log_dir: str = LOG_DIR,
+    ):
         self.spark = spark
         self.root = root
         # Driver-side metadata/finalize I/O seam — PosixStore by default;
         # FakeObjectStore (tests) proves the S3/ADLS deployment story.
         self.store = store if store is not None else PosixStore(root)
+        # Which log lineage this handle reads/commits — LOG_DIR for main,
+        # a _branches/<name> dir for a branch handle. Data paths are
+        # lineage-independent.
+        self.log_dir = log_dir
 
     # ---------------------------------------------------------------- DDL
     @classmethod
@@ -205,16 +226,16 @@ class LakeTable:
         outside their creation-race handler)."""
         return any(
             e.endswith(".json") and not e.startswith(".") and ".checkpoint." not in e
-            for e in self.store.list_dir(LOG_DIR)
+            for e in self.store.list_dir(self.log_dir)
         )
 
     # ---------------------------------------------------------------- log
     def _log_path(self, version: int) -> str:
         """Root-relative log-entry path (a store key)."""
-        return f"{LOG_DIR}/{version:020d}.json"
+        return f"{self.log_dir}/{version:020d}.json"
 
     def _log_versions(self) -> list[int]:
-        entries = self.store.list_dir(LOG_DIR)
+        entries = self.store.list_dir(self.log_dir)
         return [
             int(e.split(".")[0])
             for e in entries
@@ -268,12 +289,12 @@ class LakeTable:
     # ---------------------------------------------------------- checkpoints
     def _checkpoint_path(self, version: int) -> str:
         """Root-relative checkpoint path (a store key)."""
-        return f"{LOG_DIR}/{version:020d}.checkpoint.json"
+        return f"{self.log_dir}/{version:020d}.checkpoint.json"
 
     def _available_checkpoints(self) -> list[int]:
         return sorted(
             int(e.split(".")[0])
-            for e in self.store.list_dir(LOG_DIR)
+            for e in self.store.list_dir(self.log_dir)
             if e.endswith(".checkpoint.json") and not e.startswith(".")
         )
 
@@ -1347,17 +1368,38 @@ class LakeTable:
         finding). A dir whose newest file is older than
         ``staging_grace_sec`` cannot belong to a live writer (stage →
         finalize is seconds-to-minutes; default grace 24 h) and is
-        removed; younger dirs are left for their (possibly live) writer."""
+        removed; younger dirs are left for their (possibly live) writer.
+
+        Ref awareness: files referenced by any live BRANCH head or TAGGED
+        snapshot stay live whatever the retention horizon — a branch owns
+        data main's log never saw, and a tag pins a snapshot main's horizon
+        may have passed. Drop the ref, then vacuum reclaims."""
+        if self._is_branch_handle():
+            raise ValueError(
+                "vacuum runs on the main handle: data/ is shared across "
+                "lineages, so a branch-scoped walk would reap main's files"
+            )
         latest = self.latest_version()
-        live: set[str] = set()
-        for v in range(max(1, latest - retain_versions), latest + 1):
-            s = self.snapshot(v)
-            live.update(s.files)
-            live.update(
+
+        def _live_of(s: Snapshot) -> set[str]:
+            out = set(s.files)
+            out.update(
                 d
                 for m in s.files.values()
                 for d in ((m or {}).get("dv", []) + (m or {}).get("edv", []))
             )
+            return out
+
+        live: set[str] = set()
+        pinned = [
+            v for v in self.list_tags().values() if v <= latest - retain_versions - 1
+        ]
+        for v in [*range(max(1, latest - retain_versions), latest + 1), *pinned]:
+            live |= _live_of(self.snapshot(v))
+        for b in self.list_branches():
+            br = self.branch(b)
+            if br.exists():
+                live |= _live_of(br.snapshot())
         removed = 0
         for rel in self.store.walk_files(DATA_DIR):
             if rel not in live:
@@ -1382,10 +1424,18 @@ class LakeTable:
         (the replay base) and every log entry from that base forward. Every
         retained snapshot stays reconstructible; versions older than the
         base expire (Iceberg expire-snapshots semantics — same horizon
-        ``vacuum(retain_versions)`` applies to data files). Returns the
-        number of metadata files removed."""
+        ``vacuum(retain_versions)`` applies to data files). TAGGED versions
+        pin the horizon: metadata needed to reconstruct a tagged snapshot
+        is retained until the tag is dropped. Branch lineages are
+        unaffected (each owns its log dir; run vacuum_metadata on the
+        branch handle to prune it). Returns the number of metadata files
+        removed."""
         latest = self.latest_version()
         horizon = max(1, latest - retain_versions)
+        if not self._is_branch_handle():
+            tags = self.list_tags().values()
+            if tags:
+                horizon = max(1, min(horizon, *tags))
         base = max(
             (v for v in self._available_checkpoints() if v <= horizon),
             default=None,
@@ -1393,14 +1443,269 @@ class LakeTable:
         if base is None:
             return 0  # no checkpoint to replay from yet — keep everything
         removed = 0
-        for e in self.store.list_dir(LOG_DIR):
+        for e in self.store.list_dir(self.log_dir):
             if e.startswith(".") or not e.endswith(".json"):
                 continue
             v = int(e.split(".")[0])
             if v < base:
-                self.store.delete(f"{LOG_DIR}/{e}")
+                self.store.delete(f"{self.log_dir}/{e}")
                 removed += 1
         return removed
 
     def history(self) -> list[dict]:
         return self.log_entries(self.oldest_version())
+
+    # ------------------------------------------------------------- branches
+    # Iceberg-style refs, reduced to the linear-log model: a BRANCH is a
+    # fork of the main lineage (its own log dir seeded with a checkpoint of
+    # the fork snapshot; data files shared with main, so branch writes move
+    # zero data), and PUBLISH squashes the branch's net effect into ONE
+    # conditional-put commit on main. This is the write-audit-publish
+    # pattern: an ingest epoch lands on a branch, an audit reads the branch,
+    # and main's readers never see a row until the (atomic) publish.
+    # Reference parity note: the reference audits by reading Snowflake
+    # stream contents before INSERT (DataLoader.scala); WAP is the lake-
+    # format equivalent with the audit moved AFTER the merge but BEFORE
+    # visibility.
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        if not name or not all(c.isalnum() or c in "-_." for c in name):
+            raise ValueError(f"invalid ref name {name!r} (alnum, '-', '_', '.')")
+
+    def _is_branch_handle(self) -> bool:
+        return self.log_dir != LOG_DIR
+
+    def branch(self, name: str) -> "LakeTable":
+        """Handle on branch ``name``: same root, same data dir, its own log
+        lineage. Reads/commits through it exactly like a table — MERGE,
+        UPDATE, compact, changelog all work unchanged. Missing branches
+        raise on first metadata access (see :meth:`list_branches`)."""
+        self._check_ref_name(name)
+        if self._is_branch_handle():
+            raise ValueError("branches fork from main, not from another branch")
+        return LakeTable(
+            self.spark,
+            self.root,
+            store=self.store,
+            log_dir=f"{BRANCHES_DIR}/{name}",
+        )
+
+    def list_branches(self) -> list[str]:
+        return sorted(
+            b
+            for b in self.store.list_dir(BRANCHES_DIR)
+            if self.store.is_dir(f"{BRANCHES_DIR}/{b}")
+        )
+
+    def create_branch(self, name: str, if_not_exists: bool = False) -> "LakeTable":
+        """Fork the current snapshot into branch ``name``. O(metadata):
+        writes one seed checkpoint (the fork state, kept in the BRANCH's
+        log so it survives main-side ``vacuum_metadata``) plus one marker
+        commit carrying the fork version. Concurrent creators at the same
+        fork version resolve by the marker's conditional put."""
+        br = self.branch(name)
+        snap = self.snapshot()
+        br.store.ensure_dir(br.log_dir)
+        try:
+            br._commit(
+                {
+                    "operation": "create-branch",
+                    "add": [],
+                    "remove": [],
+                    "properties": {PROP_BRANCH_BASE: snap.version},
+                    "summary": {"from_version": snap.version},
+                },
+                expected_version=snap.version + 1,
+            )
+        except ConcurrentCommitError:
+            if if_not_exists and br.exists():
+                return br
+            raise FileExistsError(f"branch {name} already exists at {self.root}")
+        if br.exists() and br.oldest_version() < snap.version + 1:
+            # a racer created this branch from an OLDER fork just before us;
+            # our marker landed on top of a diverged lineage — unwind ours
+            br.store.delete(br._log_path(snap.version + 1))
+            if if_not_exists:
+                return br
+            raise FileExistsError(f"branch {name} already exists at {self.root}")
+        payload = {
+            "version": snap.version,
+            "schema": snap.schema.json(),
+            "key_cols": snap.key_cols,
+            "num_buckets": snap.num_buckets,
+            "files": snap.files,
+            "properties": snap.properties,
+        }
+        br.store.put_if_absent(
+            br._checkpoint_path(snap.version), json.dumps(payload).encode()
+        )
+        return br
+
+    def drop_branch(self, name: str) -> None:
+        """Delete the branch lineage (metadata only). Data files that only
+        the branch referenced become orphans; the next :meth:`vacuum`
+        reclaims them — until then they cost storage, never correctness."""
+        self._check_ref_name(name)
+        self.store.delete_dir(f"{BRANCHES_DIR}/{name}")
+
+    def publish_branch(
+        self, name: str, drop: bool = True, max_retries: int = 5
+    ) -> CommitResult:
+        """Squash-publish branch ``name`` onto main as ONE atomic commit
+        carrying the branch's net file/dv/edv/schema/properties delta since
+        its fork. Readers of main see the branch's whole history appear at
+        a single version (changelog consumers get one publish commit).
+
+        If main advanced past the fork, the publish REBASES under snapshot-
+        isolation validation (the Iceberg overwrite check): every file the
+        branch removed or attached delete refs to must still be live on
+        main, no property key may have changed on both sides, and layout
+        changes (bucket count / key columns) on either side conflict. A
+        validation failure raises :class:`ConcurrentCommitError` — the
+        branch is left intact for inspection or re-fork."""
+        br = self.branch(name)
+        head = br.snapshot()
+        fork = int(head.properties.get(PROP_BRANCH_BASE) or 0)
+        if not fork:
+            raise ValueError(f"branch {name} carries no fork stamp")
+        base = br.snapshot(fork)
+        adds = []
+        dv_delta: dict[str, list] = {}
+        edv_delta: dict[str, list] = {}
+        for p, m in head.files.items():
+            m = m or {}
+            old = base.files.get(p)
+            if old is None:
+                add = {"path": p, "rows": m.get("rows"), "bucket": m.get("bucket")}
+                if m.get("stats"):
+                    add["stats"] = m["stats"]
+                adds.append(add)
+                # delete refs acquired on branch-added files re-attach via
+                # the same entry's dv/edv maps (snapshot applies adds first)
+                if m.get("dv"):
+                    dv_delta[p] = list(m["dv"])
+                if m.get("edv"):
+                    edv_delta[p] = list(m["edv"])
+                continue
+            old = old or {}
+            new_dv = [d for d in (m.get("dv") or []) if d not in (old.get("dv") or [])]
+            new_edv = [d for d in (m.get("edv") or []) if d not in (old.get("edv") or [])]
+            if new_dv:
+                dv_delta[p] = new_dv
+            if new_edv:
+                edv_delta[p] = new_edv
+        removes = [p for p in base.files if p not in head.files]
+        props_delta = {
+            k: v
+            for k, v in head.properties.items()
+            if k != PROP_BRANCH_BASE and base.properties.get(k) != v
+        }
+        entry: dict = {
+            "operation": "publish",
+            "add": adds,
+            "remove": removes,
+            "summary": {
+                "branch": name,
+                "branch_base": fork,
+                "branch_head": head.version,
+                "files_added": len(adds),
+                "files_removed": len(removes),
+            },
+        }
+        if head.schema.json() != base.schema.json():
+            entry["schema"] = head.schema.json()
+        if head.key_cols != base.key_cols:
+            entry["key_cols"] = head.key_cols
+        if head.num_buckets != base.num_buckets:
+            entry["num_buckets"] = head.num_buckets
+        if dv_delta:
+            entry["dv"] = dv_delta
+        if edv_delta:
+            entry["edv"] = edv_delta
+        if props_delta:
+            entry["properties"] = props_delta
+        touched = set(removes) | set(dv_delta) | set(edv_delta)
+        for _ in range(max_retries):
+            cur = self.snapshot()
+            if cur.version != fork:
+                missing = sorted(p for p in touched if p not in cur.files)
+                if missing:
+                    raise ConcurrentCommitError(
+                        f"cannot publish branch {name}: main rewrote files the "
+                        f"branch mutated since fork v{fork} "
+                        f"(e.g. {missing[:3]})"
+                    )
+                if (
+                    "num_buckets" in entry
+                    or "key_cols" in entry
+                    or cur.num_buckets != base.num_buckets
+                    or cur.key_cols != base.key_cols
+                ):
+                    raise ConcurrentCommitError(
+                        f"cannot publish branch {name}: bucket/key layout "
+                        "changed since fork"
+                    )
+                if "schema" in entry and cur.schema.json() != base.schema.json():
+                    raise ConcurrentCommitError(
+                        f"cannot publish branch {name}: schema changed on both "
+                        "main and the branch since fork"
+                    )
+                both = sorted(
+                    k
+                    for k in props_delta
+                    if cur.properties.get(k) != base.properties.get(k)
+                )
+                if both:
+                    raise ConcurrentCommitError(
+                        f"cannot publish branch {name}: properties changed on "
+                        f"both sides since fork: {both[:3]}"
+                    )
+            try:
+                res = self._commit(entry, expected_version=cur.version + 1)
+                if drop:
+                    self.drop_branch(name)
+                return res
+            except ConcurrentCommitError:
+                continue  # somebody else won this version — re-validate
+        raise ConcurrentCommitError(
+            f"publish of branch {name} lost {max_retries} commit races"
+        )
+
+    # ----------------------------------------------------------------- tags
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Immutable named pointer at a main-lineage version (Iceberg tag).
+        ``vacuum`` / ``vacuum_metadata`` keep tagged snapshots readable
+        until the tag is dropped."""
+        self._check_ref_name(name)
+        if self._is_branch_handle():
+            raise ValueError("tags point at main-lineage versions")
+        v = int(version) if version is not None else self.latest_version()
+        self.store.ensure_dir(TAGS_DIR)
+        if not self.store.put_if_absent(
+            f"{TAGS_DIR}/{name}.json", json.dumps({"version": v}).encode()
+        ):
+            raise FileExistsError(f"tag {name} already exists at {self.root}")
+        return v
+
+    def tag_version(self, name: str) -> int:
+        self._check_ref_name(name)
+        return int(
+            json.loads(self.store.read_bytes(f"{TAGS_DIR}/{name}.json"))["version"]
+        )
+
+    def list_tags(self) -> dict[str, int]:
+        out = {}
+        for e in self.store.list_dir(TAGS_DIR):
+            if e.endswith(".json") and not e.startswith("."):
+                out[e[: -len(".json")]] = int(
+                    json.loads(self.store.read_bytes(f"{TAGS_DIR}/{e}"))["version"]
+                )
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        self._check_ref_name(name)
+        self.store.delete(f"{TAGS_DIR}/{name}.json")
+
+    def read_at_tag(self, name: str) -> DataFrame:
+        return self.read(version=self.tag_version(name))
