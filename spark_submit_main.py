@@ -69,6 +69,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--vacuum-retain", type=int, default=None,
                    help="after replay, vacuum data+metadata keeping the "
                         "last N versions of time travel")
+    p.add_argument("--wap", action="store_true",
+                   help="write-audit-publish: each epoch applies on a lake "
+                        "BRANCH and publishes atomically only after a "
+                        "row-conservation audit (branch rowcount equals "
+                        "pre-epoch rows + inserts - deletes); a failing "
+                        "audit drops the branch — main never sees the rows")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -93,6 +99,32 @@ def main(argv: list[str] | None = None) -> int:
     log = spark.read.parquet(args.events)
     max_lsn = args.max_lsn or (log.agg(F.max("lsn")).first()[0] or 0)
 
+    audit_fn = None
+    audits = []
+    if args.wap:
+        def audit_fn(branch, res):
+            # row conservation: the branch's post-merge rowcount must equal
+            # the pre-epoch count plus net inserts minus deletes — catches
+            # a merge that dropped or duplicated rows before ANY reader
+            # can see them
+            fork = int(
+                branch.snapshot().properties.get("lake.branch.base") or 0
+            )
+            before = sum(
+                (m or {}).get("rows") or 0
+                for m in branch.snapshot(fork).files.values()
+            )
+            after = branch.read().count()
+            if args.all_delete_mode == "equality" and res.rows_inserted == 0:
+                # equality deletes report keys TARGETED, not rows proven
+                # live — exact conservation only bounds the delta
+                ok = before - res.rows_deleted <= after <= before
+            else:
+                ok = after == before + res.rows_inserted - res.rows_deleted
+            audits.append({"epoch": res.epoch_id, "rows_before": before,
+                           "rows_after": after, "passed": ok})
+            return ok
+
     eng = CdcEngine(
         spark,
         args.table,
@@ -103,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
         broadcast_key_limit=args.broadcast_limit,
         all_delete_mode=args.all_delete_mode,
         quarantine_dir=args.quarantine_dir,
+        audit_fn=audit_fn,
     )
     t0 = time.time()
     results = eng.replay(
@@ -131,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
         ],
         "final_rows": eng.read_state().count(),
         **({"files_vacuumed": vacuumed} if vacuumed is not None else {}),
+        **({"wap_audits": audits} if args.wap else {}),
     }))
     return 0
 

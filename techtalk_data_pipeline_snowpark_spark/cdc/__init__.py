@@ -1,9 +1,10 @@
 from .dedup import dedup_latest, dedup_latest_salted, dedup_latest_window
-from .engine import CdcEngine, EpochResult
+from .engine import CdcEngine, EpochAuditError, EpochResult
 from .schema_evolution import SchemaEvolutionError, reconcile
 
 __all__ = [
     "CdcEngine",
+    "EpochAuditError",
     "EpochResult",
     "SchemaEvolutionError",
     "dedup_latest",

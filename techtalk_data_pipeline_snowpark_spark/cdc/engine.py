@@ -85,6 +85,17 @@ class EpochResult:
     skipped: bool = False
 
 
+class EpochAuditError(RuntimeError):
+    """An audited (WAP-mode) epoch failed its audit: the branch was
+    dropped, main never saw a row, and the watermark did not advance —
+    the replay stops here instead of publishing bad data. Repair upstream
+    (or relax the audit) and re-run; the epoch recomputes from scratch."""
+
+    def __init__(self, result: EpochResult, message: str):
+        super().__init__(message)
+        self.result = result
+
+
 class CdcEngine:
     def __init__(
         self,
@@ -99,6 +110,7 @@ class CdcEngine:
         mor_all_delete_epochs: bool = True,
         all_delete_mode: str | None = None,
         quarantine_dir: str | None = None,
+        audit_fn=None,
     ):
         self.spark = spark
         self.table_root = table_root
@@ -137,6 +149,15 @@ class CdcEngine:
         # when quarantine_dir is set, the raw offending EVENTS are appended
         # there for inspection / replay-after-fix.
         self.quarantine_dir = quarantine_dir
+        # Write-audit-publish: with audit_fn set, every epoch applies on a
+        # BRANCH of the lake table (lake/table.py branch refs); the audit
+        # reads the branch while main still serves the pre-epoch snapshot,
+        # and only a passing audit publishes (one atomic squash commit,
+        # watermark included). Signature: audit_fn(branch_table: LakeTable,
+        # result: EpochResult) -> bool. A failing audit drops the branch
+        # and raises EpochAuditError — bad upstream data can never become
+        # visible, and the watermark never advances past it.
+        self.audit_fn = audit_fn
 
     # ------------------------------------------------------------- state
     def table(self) -> LakeTable:
@@ -233,6 +254,8 @@ class CdcEngine:
         from ..lake import ConcurrentCommitError
 
         try:
+            if self.audit_fn is not None:
+                return self._apply_epoch_wap(events, lsn_from, lsn_to, lineage)
             return self._apply_epoch_once(events, lsn_from, lsn_to, lineage)
         except ConcurrentCommitError:
             if self.last_lsn() >= lsn_to:
@@ -242,19 +265,84 @@ class CdcEngine:
                 raise
             return self.apply_epoch(events, lsn_from, lsn_to, lineage, _retries - 1)
 
-    def _apply_epoch_once(
+    def _apply_epoch_wap(
         self,
         events: DataFrame,
         lsn_from: int,
         lsn_to: int,
         lineage: dict | None = None,
     ) -> EpochResult:
+        """Write-audit-publish epoch: the whole epoch (schema evolution,
+        merge or MOR delete, manifest, watermark) applies on a BRANCH of
+        the lake table; ``audit_fn(branch, result)`` inspects it while
+        main still serves the pre-epoch snapshot; a pass publishes the
+        branch's net delta as ONE atomic commit on main, a fail drops the
+        branch and raises :class:`EpochAuditError`.
+
+        Crash/exactly-once posture: the branch name is derived from
+        ``lsn_to``, so a crashed attempt's stale branch is dropped and
+        re-forked on retry (main's watermark didn't move), and a crash
+        AFTER publish is caught by the watermark check (the stale branch
+        is dropped without re-applying). A competing replayer publishing
+        the same epoch first surfaces as the publish's both-sides property
+        conflict → ConcurrentCommitError → apply_epoch's skip/retry."""
+        main = self.table()
+        if not main.exists():
+            # WAP needs a main lineage to fork: create the EMPTY table
+            # (schema metadata only — no rows visible until a publish).
+            sliced = events.where(
+                (F.col("lsn") > lsn_from) & (F.col("lsn") <= lsn_to)
+            )
+            from ..lake import ConcurrentCommitError
+
+            try:
+                LakeTable.create(
+                    self.spark,
+                    self.table_root,
+                    self._target_schema(sliced.schema),
+                    key_cols=self.key_cols,
+                    num_buckets=self.num_buckets,
+                )
+            except (FileExistsError, ConcurrentCommitError):
+                pass  # competing replayer created it — adopt
+        name = f"wap-epoch-{lsn_to}"
+        if self.last_lsn() >= lsn_to:
+            main.drop_branch(name)  # crash between publish and drop
+            return EpochResult(
+                self.last_epoch_id(), lsn_from, lsn_to, 0, 0, 0, 0, skipped=True
+            )
+        main.drop_branch(name)  # crash before publish: re-fork fresh
+        br = main.create_branch(name)
+        res = self._apply_epoch_once(events, lsn_from, lsn_to, lineage, table=br)
+        if res.skipped:
+            main.drop_branch(name)
+            return res
+        if not self.audit_fn(br, res):
+            main.drop_branch(name)
+            raise EpochAuditError(
+                res,
+                f"epoch {res.epoch_id} (lsn {lsn_from}..{lsn_to}] failed its "
+                "audit; branch dropped, main untouched, watermark unchanged",
+            )
+        main.publish_branch(name)
+        return res
+
+    def _apply_epoch_once(
+        self,
+        events: DataFrame,
+        lsn_from: int,
+        lsn_to: int,
+        lineage: dict | None = None,
+        table: LakeTable | None = None,
+    ) -> EpochResult:
         """One optimistic attempt — see apply_epoch for the retry contract.
 
         The table snapshot is read ONCE per epoch (shared with offsets,
         reconciliation, and the merge) — a long replay stays O(epochs)
-        driver work, not O(epochs × log replays)."""
-        table = self.table()
+        driver work, not O(epochs × log replays). ``table`` overrides the
+        commit target (WAP mode passes a branch handle; everything else
+        is lineage-agnostic)."""
+        table = table if table is not None else self.table()
         snap0 = table.snapshot() if table.exists() else None
         epoch_id = (int(snap0.properties.get(PROP_EPOCH_ID, 0)) if snap0 else 0) + 1
         ph = _Phase(epoch_id)

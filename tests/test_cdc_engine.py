@@ -869,3 +869,92 @@ def test_replay_with_bin_pack_maintenance(spark, tmp_path):
     again = e_bp.replay(ev, epoch_size=1000, compact_every=1,
                         compact_bin_pack_rows=target)
     assert all(r.skipped for r in again)
+
+
+# ---------------------------------------------------------------- WAP mode
+def test_wap_replay_matches_plain_replay(spark, tmp_path):
+    """audit_fn set: every epoch applies on a branch and publishes after
+    the audit — final state identical to the plain replay, one publish
+    commit per non-empty epoch on main, no leftover branches."""
+    ev = change_events(spark, N, n_repos=20, paths_per_repo=15, seed=7)
+    audited = []
+
+    def audit(branch, res):
+        audited.append(res.epoch_id)
+        return True
+
+    wap = CdcEngine(spark, str(tmp_path / "wap"), num_buckets=8, audit_fn=audit)
+    plain = CdcEngine(spark, str(tmp_path / "plain"), num_buckets=8)
+    wap.replay(ev, epoch_size=1000)
+    plain.replay(ev, epoch_size=1000)
+    _assert_state_equal(_final_state_pdf(wap), _final_state_pdf(plain))
+    assert audited == [1, 2, 3]
+    assert wap.table().list_branches() == []
+    ops = [e.get("operation") for e in wap.table().history()]
+    assert ops.count("publish") == 3
+
+
+def test_wap_audit_failure_blocks_visibility(spark, tmp_path):
+    """A failing audit: EpochAuditError raised, main has NO rows from the
+    epoch, the watermark did not advance, and a later (passing) retry
+    applies the epoch exactly once."""
+    from techtalk_data_pipeline_snowpark_spark.cdc import EpochAuditError
+
+    ev = change_events(spark, 1000, seed=3)
+    verdict = {"ok": False}
+    engine = CdcEngine(
+        spark, str(tmp_path / "t"), num_buckets=4,
+        audit_fn=lambda br, res: verdict["ok"],
+    )
+    with pytest.raises(EpochAuditError):
+        engine.apply_epoch(ev, 0, 1000)
+    assert engine.last_lsn() == 0
+    assert engine.table().read().count() == 0  # schema-only main
+    assert engine.table().list_branches() == []
+
+    verdict["ok"] = True
+    res = engine.apply_epoch(ev, 0, 1000)
+    assert not res.skipped and res.events > 0
+    oracle = _oracle_pdf(ev.toPandas())
+    _assert_state_equal(_final_state_pdf(engine), oracle)
+    # replay after the publish: exactly-once skip, stale branch impossible
+    assert engine.apply_epoch(ev, 0, 1000).skipped
+
+
+def test_wap_audit_sees_branch_not_main(spark, tmp_path):
+    """The audit reads the BRANCH state (post-merge) while main still
+    serves the pre-epoch snapshot — the write-audit-publish contract."""
+    ev = change_events(spark, 1000, seed=11)
+    seen = {}
+
+    def audit(branch, res):
+        seen["branch_rows"] = branch.read().count()
+        seen["main_rows"] = CdcEngine(
+            spark, branch.root, num_buckets=4
+        ).table().read().count()
+        return True
+
+    engine = CdcEngine(spark, str(tmp_path / "t"), num_buckets=4, audit_fn=audit)
+    engine.apply_epoch(ev, 0, 1000)
+    assert seen["branch_rows"] > 0
+    assert seen["main_rows"] == 0
+    assert engine.table().read().count() == seen["branch_rows"]
+
+
+def test_wap_schema_evolution_publishes(spark, tmp_path):
+    """Schema evolution inside an audited epoch: the evolve-schema commit
+    lands on the branch and the publish carries the widened schema to
+    main along with the data."""
+    ev1, ev2 = change_events_evolution(spark, 1200, seed=5)
+    engine = CdcEngine(
+        spark, str(tmp_path / "t"), num_buckets=4,
+        audit_fn=lambda br, res: True,
+    )
+    hi1 = ev1.agg(F.max("lsn")).first()[0]
+    engine.apply_epoch(ev1, 0, hi1)
+    cols_before = set(engine.read_state().columns)
+    hi2 = ev2.agg(F.max("lsn")).first()[0]
+    engine.apply_epoch(ev2, hi1, hi2)
+    cols_after = set(engine.read_state().columns)
+    assert cols_before < cols_after  # evolution added column(s) on main
+    assert engine.table().list_branches() == []
