@@ -352,3 +352,42 @@ def test_ivm_min_max_via_scoped_rescan(spark, tmp_table_root):
     # 8. idempotence
     r2 = view.refresh()
     assert r2["refreshed"] is False
+
+
+def test_ivm_over_wap_publish_commits(spark, tmp_table_root):
+    """A maintained view consuming a WAP table: the squashed publish commit
+    is one changelog version whose deltas (updates with preimages, inserts,
+    deletes) the view applies exactly — maintained state equals recompute
+    after every publish, and an unpublished (dropped) branch contributes
+    nothing."""
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA,
+        key_cols=["repo", "path"], num_buckets=4,
+    )
+    view = IncrementalAggView(
+        spark, t, tmp_table_root + "/view",
+        group_cols=["repo"], sum_cols={"total": "size"}, num_buckets=2,
+    )
+    t.append(_df(spark, [(f"r{i % 3}", f"p{i}", i) for i in range(30)]))
+    view.refresh()
+
+    # audited epoch: update + insert + delete, all through one publish
+    br = t.create_branch("wap")
+    merge_into(
+        br,
+        _df(spark, [("r1", "p1", 999), ("r9", "pX", 5)]),
+        on=["repo", "path"],
+        when_matched_update="all",
+        when_not_matched_insert=True,
+    )
+    delete(br, (F.col("repo") == "r2") & (F.col("path") == "p2"))
+    # dropped branch: must never reach the view
+    bad = t.create_branch("bad")
+    bad.append(_df(spark, [("poison", "p", 10**6)]))
+    t.drop_branch("bad")
+
+    assert view.refresh()["refreshed"] is False  # nothing published yet
+    t.publish_branch("wap")
+    assert view.refresh()["refreshed"] is True
+    assert _view_state(view) == _recompute(t)
+    assert not any(r.repo == "poison" for r in view.read().collect())
