@@ -285,7 +285,15 @@ class CdcEngine:
         AFTER publish is caught by the watermark check (the stale branch
         is dropped without re-applying). A competing replayer publishing
         the same epoch first surfaces as the publish's both-sides property
-        conflict → ConcurrentCommitError → apply_epoch's skip/retry."""
+        conflict → ConcurrentCommitError → apply_epoch's skip/retry.
+
+        Caveat: WAP assumes ONE live replayer per table (the audit gate is
+        a pipeline-control point). Two replayers attempting the SAME epoch
+        simultaneously share a branch name, and the stale-branch drop
+        below could yank a live rival's branch mid-merge (its next write
+        errors and its retry re-checks the watermark — converges, but
+        noisily). Non-WAP mode keeps the lock-free competing-replayer
+        guarantee."""
         main = self.table()
         if not main.exists():
             # WAP needs a main lineage to fork: create the EMPTY table
