@@ -1023,6 +1023,88 @@ FROM base WHERE o_orderkey % 10 = 1
 """
 
 
+def changefeed_cursor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-out through the oracle gate: a named durable ``ChangelogCursor``
+    (lake/changefeed.py) drains the table's change feed in single-version
+    chunks (poll → ack, conditional-put cursor advance), and the union of
+    everything delivered equals the full changelog — the initial append's
+    inserts plus one MERGE's insert / update_postimage / delete CDF rows.
+    Exercises chunked catch-up and the exactly-once advance protocol.
+    Reference parity: the Snowflake stream offset that advances with its
+    consuming DML (SnowflakeUtils.scala:46-66)."""
+    from techtalk_data_pipeline_snowpark_spark.lake import ChangelogCursor
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    base = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 20000)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="changefeed_")
+    t = LakeTable.create(
+        spark, os.path.join(root, "t"), schema, key_cols=["o_orderkey"], num_buckets=8
+    )
+    t.append(base)
+    upd = base.where(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey", "o_custkey",
+        (F.col("price") * 2).alias("price"), F.lit("upsert").alias("op"),
+    )
+    dele = base.where(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey", "o_custkey", "price", F.lit("delete").alias("op")
+    )
+    ins = base.where(F.col("o_orderkey") % 10 == 1).select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+        "o_custkey", (F.col("price") + 1).alias("price"),
+        F.lit("upsert").alias("op"),
+    )
+    merge_into(
+        t,
+        upd.unionByName(dele).unionByName(ins),
+        on=["o_orderkey"],
+        when_matched_update="all",
+        when_matched_delete=F.col("s.op") == "delete",
+    )
+    cur = ChangelogCursor(t, "oracle-gate")
+    out = None
+    while True:
+        batch = cur.poll(max_versions=1)
+        if batch is None:
+            break
+        piece = batch.df.select("o_orderkey", "o_custkey", "price", "_change_type")
+        out = piece if out is None else out.unionByName(piece)
+        batch.ack()
+    return out
+
+
+_CHANGEFEED_CURSOR_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey < 20000
+)
+SELECT o_orderkey, o_custkey, price, 'insert' AS _change_type FROM base
+UNION ALL
+SELECT o_orderkey, o_custkey, price * 2 AS price,
+       'update_postimage' AS _change_type
+FROM base WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT o_orderkey, o_custkey, price, 'delete' AS _change_type
+FROM base WHERE o_orderkey % 10 = 7
+UNION ALL
+SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, price + 1 AS price,
+       'insert' AS _change_type
+FROM base WHERE o_orderkey % 10 = 1
+"""
+
+
 _STREAM_SCHEMA = T.StructType(
     [
         T.StructField("o_orderkey", T.LongType()),
@@ -1532,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_minmax_orders": ivm_minmax_orders,
         "ingest_orders_roundtrip": ingest_orders_roundtrip,
         "read_changelog_orders": read_changelog_orders,
+        "changefeed_cursor_orders": changefeed_cursor_orders,
         "stream_ingest_orders": stream_ingest_orders,
         "cloud_event_ingest_orders": cloud_event_ingest_orders,
         "employee_industry_join": employee_industry_join,
@@ -1577,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "ivm_minmax_orders": _IVM_MINMAX_ORACLE,
         "ingest_orders_roundtrip": _INGEST_ORACLE,
         "read_changelog_orders": _CHANGELOG_ORACLE,
+        "changefeed_cursor_orders": _CHANGEFEED_CURSOR_ORACLE,
         "stream_ingest_orders": _STREAM_INGEST_ORACLE,
         "cloud_event_ingest_orders": _CLOUD_INGEST_ORACLE,
         "employee_industry_join": _EMPLOYEE_INDUSTRY_ORACLE,

@@ -1,3 +1,4 @@
+from .changefeed import ChangeBatch, ChangelogCursor, CursorConflict
 from .ivm import IncrementalAggView
 from .merge import delete, equality_delete_keys, merge_into, mor_delete_keys, update
 from .store import FakeObjectStore, PosixStore, TableStore
@@ -5,6 +6,9 @@ from .table import CommitResult, ConcurrentCommitError, LakeTable, Snapshot, buc
 from .views import ViewCatalog
 
 __all__ = [
+    "ChangeBatch",
+    "ChangelogCursor",
+    "CursorConflict",
     "IncrementalAggView",
     "TableStore",
     "PosixStore",
