@@ -105,6 +105,11 @@ def run_compute_probe() -> dict:
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000_000
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    # Optional third arg: explicit leg list "1x2,4x2,1x2,4x2" — lets a run
+    # measure an alternative N→4N executor shape (e.g. 2-core executors)
+    # without editing the script. Default remains the 1-core pairs + 4x2
+    # envelope point.
+    legs_arg = sys.argv[3] if len(sys.argv) > 3 else None
 
     zip_path = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "package.py")],
@@ -128,6 +133,8 @@ def main():
     # a true middle element (two pairs made [len//2] the MAX — review
     # finding); the envelope point (4x2) last.
     legs = [(1, 1), (4, 1), (1, 1), (4, 1), (1, 1), (4, 1), (4, 2)]
+    if legs_arg:
+        legs = [tuple(int(x) for x in leg.split("x")) for leg in legs_arg.split(",")]
     runs = []
     results = {}
     for i, (n_exec, cores) in enumerate(legs):
@@ -167,7 +174,9 @@ def main():
         "end_to_end_efficiency_n_to_4n": eff_median,
         "efficiency_mean": eff_mean,
         "efficiency_min": eff_sorted[0],
-        "beyond_envelope_4x2_ev_per_sec": results[(4, 2)]["lsns_per_sec"],
+        "beyond_envelope_4x2_ev_per_sec": (
+            results[(4, 2)]["lsns_per_sec"] if (4, 2) in results else None
+        ),
         "same_final_state": len(
             {m["final_rows"] for _, m in runs}
         ) == 1,
