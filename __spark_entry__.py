@@ -1492,6 +1492,39 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def asof_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join: every purchase event enriched with the same
+    user's most recent click at or before the purchase timestamp — the
+    classic last-touch attribution query. Distributed via the
+    union-marker + running-``last`` window construction (operators/
+    asof.py): one shuffle on the key, no range-join explosion. Oracle is
+    DuckDB's native ASOF LEFT JOIN over the identically-deduplicated
+    right side. Beyond-reference operator (no temporal join in the
+    reference or in Spark 4)."""
+    from techtalk_data_pipeline_snowpark_spark.operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(purch, clicks, on="user_id", right_prefix="click_")
+
+
+_ASOF_ATTRIBUTION_ORACLE = """
+WITH purch AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS click_ts, c.value AS click_value
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) + per-session aggs."""
     from techtalk_data_pipeline_snowpark_spark.operators.sessions import session_stats
@@ -1623,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
         "doc_fingerprint_docs": doc_fingerprint_docs,
+        "asof_attribution_events": asof_attribution_events,
         "session_stats_events": session_stats_events,
         "session_window_events": session_window_events,
         "cosine_topk": cosine_topk,
@@ -1669,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_docs": _lang_id_oracle(),
         "quality_docs": _QUALITY_ORACLE,
         "doc_fingerprint_docs": _FINGERPRINT_ORACLE,
+        "asof_attribution_events": _ASOF_ATTRIBUTION_ORACLE,
         "session_stats_events": _SESSIONS_ORACLE,
         "session_window_events": _SESSION_WINDOW_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,

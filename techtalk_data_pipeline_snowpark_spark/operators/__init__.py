@@ -3,6 +3,7 @@ from .analytics import (
     paid_with_amex_rating_gt_50,
     top_restaurants_last_30_days,
 )
+from .asof import asof_join
 from .dedup import (
     char_ngrams,
     cosine,

@@ -1,0 +1,113 @@
+"""As-of (temporal) join: union-marker construction vs brute-force truth."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from techtalk_data_pipeline_snowpark_spark.operators import asof_join
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture()
+def quotes(spark):
+    # (key, ts, px): the "right" stream
+    rows = [
+        ("a", _ts(1), 10.0),
+        ("a", _ts(5), 11.0),
+        ("a", _ts(9), 12.0),
+        ("b", _ts(4), 100.0),
+    ]
+    return spark.createDataFrame(rows, "sym string, ts timestamp, px double")
+
+
+@pytest.fixture()
+def trades(spark):
+    rows = [
+        ("t1", "a", _ts(0), 1),   # before any quote -> null
+        ("t2", "a", _ts(5), 2),   # equal ts -> inclusive match 11.0
+        ("t3", "a", _ts(7), 3),   # between -> 11.0
+        ("t4", "a", _ts(30), 4),  # long after -> 12.0 (tolerance kills it)
+        ("t5", "b", _ts(4), 5),   # equal ts on other key -> 100.0
+        ("t6", "c", _ts(9), 6),   # key with no quotes -> null
+    ]
+    return spark.createDataFrame(rows, "tid string, sym string, ts timestamp, qty int")
+
+
+def test_backward_inclusive_semantics(quotes, trades):
+    out = {
+        r.tid: (r.right_px, r.right_ts)
+        for r in asof_join(trades, quotes, on="sym").collect()
+    }
+    assert out["t1"] == (None, None)
+    assert out["t2"] == (11.0, _ts(5))
+    assert out["t3"] == (11.0, _ts(5))
+    assert out["t4"] == (12.0, _ts(9))
+    assert out["t5"] == (100.0, _ts(4))
+    assert out["t6"] == (None, None)
+    # left rows are preserved 1:1
+    assert len(out) == 6
+
+
+def test_tolerance_nulls_stale_matches(quotes, trades):
+    out = {
+        r.tid: r.right_px
+        for r in asof_join(trades, quotes, on="sym", tolerance_seconds=5).collect()
+    }
+    # t4 is 21s after the latest quote -> nulled; t2/t3/t5 within 5s survive
+    assert out["t4"] is None
+    assert out["t2"] == 11.0 and out["t3"] == 11.0 and out["t5"] == 100.0
+
+
+def test_right_ties_are_deterministic(spark, trades):
+    # two right rows on the same (key, ts): max-struct dedup picks px=11.0
+    q = spark.createDataFrame(
+        [("a", _ts(5), 10.5), ("a", _ts(5), 11.0)],
+        "sym string, ts timestamp, px double",
+    )
+    for _ in range(3):
+        out = {r.tid: r.right_px for r in asof_join(trades, q, on="sym").collect()}
+        assert out["t2"] == 11.0 and out["t3"] == 11.0
+
+
+def test_matches_brute_force_on_real_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    got = asof_join(purch, clicks, on="user_id", right_prefix="click_")
+
+    # brute force: range join + argmax per left row
+    j = purch.alias("p").join(
+        clicks.alias("c"),
+        (F.col("p.user_id") == F.col("c.user_id")) & (F.col("c.ts") <= F.col("p.ts")),
+        "left",
+    )
+    brute = (
+        j.groupBy("p.event_id")
+        .agg(F.max(F.struct(F.col("c.ts"), F.col("c.value"))).alias("m"))
+        .select("event_id", F.col("m.ts").alias("click_ts"), F.col("m.value").alias("click_value"))
+    )
+    merged = got.select("event_id", "click_ts", "click_value").alias("g").join(
+        brute.alias("b"), "event_id", "full"
+    )
+    diff = merged.where(
+        ~(
+            (F.col("g.click_ts").eqNullSafe(F.col("b.click_ts")))
+            & (F.col("g.click_value").eqNullSafe(F.col("b.click_value")))
+        )
+    )
+    assert diff.count() == 0
+    assert got.count() == purch.count()
+
+
+def test_single_shuffle_plan(quotes, trades):
+    plan = asof_join(trades, quotes, on="sym")._jdf.queryExecution().executedPlan().toString()
+    # one exchange for the window partition; the right-side dedup agg shares it
+    assert plan.count("Exchange hashpartitioning(sym") <= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
