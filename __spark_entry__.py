@@ -1525,6 +1525,67 @@ FROM purch p ASOF LEFT JOIN clicks c
 """
 
 
+def interval_join_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join through the oracle gate: count error events
+    inside each user's click session (7-day gap). The grid-bucketed
+    ``interval_join`` (operators/interval.py) turns the key+range
+    predicate into a plain equi-join on (key, time cell) + exact
+    containment filter — no per-key nested loop, explosion bounded by
+    span/granularity. Oracle is the same sessionization CTE plus a plain
+    inequality join (exact at sf0.01 scale). Beyond-reference operator
+    (no range join in the reference or Spark's equi-join planner)."""
+    from techtalk_data_pipeline_snowpark_spark.operators.interval import interval_join
+    from techtalk_data_pipeline_snowpark_spark.operators.sessions import session_stats
+
+    clicks = _t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    sess = session_stats(clicks, gap_seconds=604800).select(
+        "user_id", "session_idx", "start_s", "end_s"
+    )
+    # fresh scan: same-lineage self-joins collapse e.user_id == s.user_id
+    # into one attribute (trivially true predicate)
+    errs = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_s"),
+        )
+    )
+    return interval_join(errs, sess, on="user_id", granularity=86400).groupBy(
+        "user_id", "session_idx"
+    ).agg(F.count(F.lit(1)).alias("n_errors"))
+
+
+_INTERVAL_JOIN_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, event_id,
+         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS secs
+  FROM events WHERE event_type = 'click'
+), flagged AS (
+  SELECT *, CASE WHEN lag(secs) OVER w IS NULL
+                  OR secs - lag(secs) OVER w > 604800 THEN 1 ELSE 0 END AS new_s
+  FROM clicks
+  WINDOW w AS (PARTITION BY user_id ORDER BY secs, event_id)
+), sessioned AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY secs, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_idx, min(secs) AS start_s, max(secs) AS end_s
+  FROM sessioned GROUP BY user_id, session_idx
+), errs AS (
+  SELECT user_id,
+         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS secs
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.session_idx, CAST(count(*) AS BIGINT) AS n_errors
+FROM errs e JOIN sess s
+  ON e.user_id = s.user_id AND e.secs BETWEEN s.start_s AND s.end_s
+GROUP BY s.user_id, s.session_idx
+"""
+
+
 def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) + per-session aggs."""
     from techtalk_data_pipeline_snowpark_spark.operators.sessions import session_stats
@@ -1657,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": quality_docs,
         "doc_fingerprint_docs": doc_fingerprint_docs,
         "asof_attribution_events": asof_attribution_events,
+        "interval_join_error_sessions": interval_join_error_sessions,
         "session_stats_events": session_stats_events,
         "session_window_events": session_window_events,
         "cosine_topk": cosine_topk,
@@ -1704,6 +1766,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_docs": _QUALITY_ORACLE,
         "doc_fingerprint_docs": _FINGERPRINT_ORACLE,
         "asof_attribution_events": _ASOF_ATTRIBUTION_ORACLE,
+        "interval_join_error_sessions": _INTERVAL_JOIN_ORACLE,
         "session_stats_events": _SESSIONS_ORACLE,
         "session_window_events": _SESSION_WINDOW_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,

@@ -4,6 +4,7 @@ from .analytics import (
     top_restaurants_last_30_days,
 )
 from .asof import asof_join
+from .interval import interval_join
 from .dedup import (
     char_ngrams,
     cosine,
