@@ -665,6 +665,64 @@ FROM orders WHERE o_totalprice < 60000.0
 """
 
 
+def bloom_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file key bloom filters → file-grain copy-on-write MERGE under
+    the exact-oracle gate (lake/bloom.py — the role Iceberg puffin blobs /
+    Delta's bloom index play; the reference gets key skipping from
+    Snowflake search optimization server-side). Merge keys are hash-
+    distributed, so zone maps can't prune them: without blooms a selective
+    MERGE rewrites every file of each touched bucket. Here a small upsert
+    (a handful of updated keys + two inserts) against a multi-file-per-
+    bucket table must SKIP at least one file (asserted driver-side from
+    the commit summary), and the final state must equal the SQL MERGE
+    semantics exactly — bloom false negatives would surface as a missing
+    update. Parity: upsert MERGE of SampleCrud.scala:46-65 at file grain."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="bloom_")
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "orders"),
+        orders.schema,
+        key_cols=["o_orderkey"],
+        num_buckets=4,
+    )
+    tbl.enable_blooms()
+    tbl.append(orders)
+    src = orders.where(F.col("o_orderkey") % 5000 == 1).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(-1, "N", 1.0), (-2, "N", 2.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+    )
+    res = merge_into(tbl, src, on=["o_orderkey"])
+    if not res.summary.get("files_skipped_by_bloom"):
+        raise RuntimeError(
+            f"bloom probe skipped nothing: {res.summary} — file-grain CoW "
+            "claim not demonstrated"
+        )
+    return tbl.read().select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_BLOOM_MERGE_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5000 = 1 THEN 'X' ELSE o_orderstatus END
+         AS o_orderstatus,
+       CASE WHEN o_orderkey % 5000 = 1 THEN o_totalprice + 1.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+UNION ALL
+SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'N', CAST(1.0 AS DOUBLE)),
+                      (CAST(-2 AS BIGINT), 'N', CAST(2.0 AS DOUBLE)))
+       AS v(o_orderkey, o_orderstatus, o_totalprice)
+"""
+
+
 def equality_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equality deletes under the exact-oracle gate: the key set itself is
     committed (Iceberg v2 equality-delete shape — ZERO table scan, no
@@ -1702,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wap_publish_orders": wap_publish_orders,
         "dv_delete_orders": dv_delete_orders,
         "zorder_pruned_scan": zorder_pruned_scan,
+        "bloom_merge_orders": bloom_merge_orders,
         "equality_delete_orders": equality_delete_orders,
         "rebucket_orders": rebucket_orders,
         "ivm_orders_by_status": ivm_orders_by_status,
@@ -1750,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
         "wap_publish_orders": _WAP_ORACLE,
         "dv_delete_orders": _DV_DELETE_ORACLE,
         "zorder_pruned_scan": _ZORDER_ORACLE,
+        "bloom_merge_orders": _BLOOM_MERGE_ORACLE,
         "equality_delete_orders": _EQUALITY_DELETE_ORACLE,
         "rebucket_orders": _REBUCKET_ORACLE,
         "ivm_orders_by_status": _IVM_ORACLE,

@@ -69,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--vacuum-retain", type=int, default=None,
                    help="after replay, vacuum data+metadata keeping the "
                         "last N versions of time travel")
+    p.add_argument("--bloom", action="store_true",
+                   help="per-file key bloom filters on the lake table: "
+                        "MERGE/DELETE rewrite only files that may contain "
+                        "an epoch key (file-grain copy-on-write)")
     p.add_argument("--wap", action="store_true",
                    help="write-audit-publish: each epoch applies on a lake "
                         "BRANCH and publishes atomically only after a "
@@ -136,6 +140,7 @@ def main(argv: list[str] | None = None) -> int:
         all_delete_mode=args.all_delete_mode,
         quarantine_dir=args.quarantine_dir,
         audit_fn=audit_fn,
+        bloom=args.bloom,
     )
     t0 = time.time()
     results = eng.replay(

@@ -111,6 +111,7 @@ class CdcEngine:
         all_delete_mode: str | None = None,
         quarantine_dir: str | None = None,
         audit_fn=None,
+        bloom: bool = False,
     ):
         self.spark = spark
         self.table_root = table_root
@@ -124,6 +125,13 @@ class CdcEngine:
         # back to a shuffled semi-join whose key partitioning the merge
         # join then reuses.
         self.broadcast_key_limit = broadcast_key_limit
+        # opt-in per-file key blooms on the lake table (lake/bloom.py):
+        # MERGE/DELETE rewrite only files that may contain an epoch key —
+        # write amplification drops from bucket-grain to file-grain on
+        # selective epochs (hot-subset CDC), at the cost of building
+        # blooms for each staged file. Set at table CREATE; a pre-existing
+        # table keeps whatever bloom property it already carries.
+        self.bloom = bloom
         # How a 100%-delete epoch commits (compact() absorbs either MOR
         # form off the ingest path):
         #   "mor"      — positional deletion vectors: key-semi-join scan of
@@ -158,6 +166,15 @@ class CdcEngine:
         # and raises EpochAuditError — bad upstream data can never become
         # visible, and the watermark never advances past it.
         self.audit_fn = audit_fn
+
+    def _create_properties(self) -> dict | None:
+        if not self.bloom:
+            return None
+        import json as _json
+
+        from ..lake.bloom import PROP_BLOOM_COLS
+
+        return {PROP_BLOOM_COLS: _json.dumps(list(self.key_cols))}
 
     # ------------------------------------------------------------- state
     def table(self) -> LakeTable:
@@ -310,6 +327,7 @@ class CdcEngine:
                     self._target_schema(sliced.schema),
                     key_cols=self.key_cols,
                     num_buckets=self.num_buckets,
+                    properties=self._create_properties(),
                 )
             except (FileExistsError, ConcurrentCommitError):
                 pass  # competing replayer created it — adopt
@@ -375,6 +393,7 @@ class CdcEngine:
                     batch_target_schema,
                     key_cols=self.key_cols,
                     num_buckets=self.num_buckets,
+                    properties=self._create_properties(),
                 )
                 snap0 = table.snapshot()
                 evolved, added, widened = batch_target_schema, [], []

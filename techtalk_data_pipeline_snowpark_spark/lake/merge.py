@@ -166,6 +166,25 @@ def merge_into(
     else:
         buckets, touched_files, untouched = None, list(snap.files), []
 
+    # file-grain copy-on-write: per-file key blooms (lake/bloom.py, opt-in
+    # via table property) mark which touched files MAY contain a source
+    # key; the rest are carried over unchanged. Bucket pruning bounds the
+    # rewrite to touched buckets; blooms bound it to touched FILES — the
+    # difference between rewriting a 10 GB bucket and rewriting the one
+    # file a changed key actually lives in. False positives rewrite a file
+    # verbatim; false negatives are impossible (shared hash pipeline).
+    bloom_skipped = 0
+    if can_prune and touched_files:
+        from .bloom import bloom_cols_of, surviving_files_by_bloom
+
+        if set(bloom_cols_of(snap)) & {k for k in keys}:
+            touched_files, bloom_skipped = surviving_files_by_bloom(
+                table, snap, source, keys, touched_files
+            )
+            if bloom_skipped:
+                touched_set = set(touched_files)
+                untouched = [p for p in snap.files if p not in touched_set]
+
     tgt = table._read_files(touched_files, schema, files_meta=snap.files)
 
     # ---- arbitration
@@ -283,8 +302,11 @@ def merge_into(
 
     result = joined.where(~drop).select(*result_cols)
 
+    from .bloom import bloom_cols_of
+
     adds = table._stage_dataframe(
         result, schema, snap.num_buckets, snap.key_cols,
+        bloom_cols=bloom_cols_of(snap),
         # persisted-clustering stamp: touched buckets rewrite SORTED so the
         # compact's zone-map layout survives DML (no-op without the stamp)
         **table.cluster_write_args(snap, removes=touched_files, schema=schema),
@@ -296,6 +318,7 @@ def merge_into(
         "rows_deleted": int(m.get("deleted") or 0),
         "buckets_rewritten": len(buckets) if buckets is not None else None,
         "files_carried": len(untouched),
+        "files_skipped_by_bloom": bloom_skipped,
     }
     return table.commit_rewrite(
         adds=adds,
@@ -358,6 +381,10 @@ def _delete_mor(
     schema = snap.schema
     cond = F.coalesce(condition, F.lit(False))
     candidates = prune_files(snap.files, condition)
+    # point-predicate blooms after zone maps (see _rewrite_matching_files)
+    from .bloom import prune_files_by_point_blooms
+
+    candidates = prune_files_by_point_blooms(table, snap, candidates, condition)
     df = table._read_files(
         candidates, schema, files_meta=snap.files, keep_position=True
     )
@@ -427,6 +454,16 @@ def mor_delete_keys(
         files = snap.files_in_buckets(set(buckets))
     else:
         files = list(snap.files)
+    # blooms shrink the position scan from touched buckets to the files
+    # that may actually hold a doomed key (lake/bloom.py, opt-in)
+    bloom_skipped = 0
+    if can_prune and files:
+        from .bloom import bloom_cols_of, surviving_files_by_bloom
+
+        if set(bloom_cols_of(snap)) & set(keys):
+            files, bloom_skipped = surviving_files_by_bloom(
+                table, snap, source_keys, keys, files
+            )
     import os
 
     tgt = table._read_files(files, snap.schema, files_meta=snap.files, keep_position=True)
@@ -441,6 +478,7 @@ def mor_delete_keys(
         "rows_affected": int(sum(per_file.values())),
         "files_with_dv": len(per_file),
         "files_scanned": len(files),
+        "files_skipped_by_bloom": bloom_skipped,
         "mode": "mor",
     }
     fname_to_rel = {os.path.basename(p): p for p in files}
@@ -496,6 +534,17 @@ def equality_delete_keys(
         files = snap.files_in_buckets(set(buckets))
     else:
         files = list(snap.files)
+    # blooms shrink the ref-attachment set: files that provably hold none
+    # of the doomed keys never acquire the edv ref, so they never pay the
+    # read-side anti-join (and compact never rewrites them to absorb it)
+    bloom_skipped = 0
+    if can_prune and files:
+        from .bloom import bloom_cols_of, surviving_files_by_bloom
+
+        if set(bloom_cols_of(snap)) & set(keys):
+            files, bloom_skipped = surviving_files_by_bloom(
+                table, snap, sk, keys, files
+            )
     edv_rels = table._stage_edv(sk)
     n_keys = table.spark.read.parquet(
         *[os.path.join(table.root, r) for r in edv_rels]
@@ -504,6 +553,7 @@ def equality_delete_keys(
         "rows_affected": -1,  # unknown by design: no scan happened
         "keys_deleted": int(n_keys),
         "files_affected": len(files),
+        "files_skipped_by_bloom": bloom_skipped,
         "mode": "equality",
     }
     if not files or n_keys == 0:
@@ -550,6 +600,15 @@ def _rewrite_matching_files(
     # predicate enter the discovery scan (at 100 TB a selective mutation
     # opens a handful of files, not the table)
     candidates = prune_files(snap.files, condition)
+    # bloom prune SECOND: zone maps don't bite on uniformly-distributed
+    # (hash/uuid/path) columns — equality/IN conjuncts test driver-side
+    # against per-file blooms, so a point mutation on a random key opens
+    # ~1 file instead of every file of its bucket (lake/bloom.py)
+    from .bloom import prune_files_by_point_blooms
+
+    n_zone = len(candidates)
+    candidates = prune_files_by_point_blooms(table, snap, candidates, condition)
+    bloom_pruned = n_zone - len(candidates)
     # DV-aware discovery: already-deleted rows can't re-match; file identity
     # comes from the scan's own __fname (basename, uuid-unique) rather than
     # input_file_name(), which goes ambiguous once the DV scan joins in.
@@ -595,14 +654,18 @@ def _rewrite_matching_files(
             else:
                 out_cols.append(F.col(f.name))
         out = flagged.select(*out_cols)
+    from .bloom import bloom_cols_of
+
     adds = table._stage_dataframe(
         out, schema, snap.num_buckets, snap.key_cols,
+        bloom_cols=bloom_cols_of(snap),
         **table.cluster_write_args(snap, removes=rel_hits, schema=schema),
     )
     m = _observed_metrics(obs, adds, pre_observe, metric_exprs)
     summary = {
         "rows_affected": int(m.get("matched") or 0),
         "files_candidates": len(candidates),
+        "files_bloom_pruned": bloom_pruned,
         "files_total": len(snap.files),
     }
     return table.commit_rewrite(

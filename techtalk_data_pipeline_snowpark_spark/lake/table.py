@@ -55,6 +55,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .bloom import PROP_BLOOM_COLS
+from .bloom import bloom_cols_of as _bloom_cols_of
 from .store import PosixStore, TableStore
 
 LOG_DIR = "_log"
@@ -345,6 +347,8 @@ class LakeTable:
                 meta = {"rows": add.get("rows"), "bucket": add.get("bucket")}
                 if add.get("stats"):
                     meta["stats"] = add["stats"]
+                if add.get("bf"):
+                    meta["bf"] = add["bf"]
                 files[add["path"]] = meta
             # merge-on-read deletes: {data_rel_path: [dv_rel_path, ...]} —
             # DV refs accumulate on the file's meta until a rewrite removes
@@ -479,10 +483,15 @@ class LakeTable:
         (pruning is a pure optimization). At 100 TB a selective predicate
         turns a full-table scan into a handful of file reads — the Spark
         equivalent of Snowflake micro-partition pruning."""
+        from .bloom import prune_files_by_point_blooms
         from .stats import prune_files
 
         snap = self.snapshot(version)
         cand = prune_files(snap.files, condition)
+        # equality/IN conjuncts additionally test per-file key blooms —
+        # point lookups on hash-distributed columns, where zone maps are
+        # blind, open ~1 file (lake/bloom.py; opt-in, conservative)
+        cand = prune_files_by_point_blooms(self, snap, cand, condition)
         df = self._read_files(cand, snap.schema, files_meta=snap.files)
         return df if condition is None else df.where(condition)
 
@@ -707,6 +716,7 @@ class LakeTable:
         sort_by: list | None = None,  # column names or Column exprs (zorder)
         max_records_per_file: int | None = None,
         subpartition: tuple | None = None,  # (slice Column, n_slices): aligned z-slicing
+        bloom_cols: list[str] | None = None,  # per-file key blooms (lake/bloom.py)
     ) -> list[dict]:
         """Write df into data/ and return add-entries (not yet committed).
 
@@ -847,6 +857,10 @@ class LakeTable:
         from .stats import enrich_adds_with_stats
 
         enrich_adds_with_stats(self.root, adds, schema)
+        if bloom_cols:
+            from .bloom import enrich_adds_with_blooms
+
+            enrich_adds_with_blooms(self, adds, schema, bloom_cols)
         return adds
 
     def _stage_dv(self, hits: DataFrame) -> tuple[list[str], dict[str, int]]:
@@ -907,9 +921,34 @@ class LakeTable:
         self.store.delete_dir(staging_rel)
         return rels
 
+    def enable_blooms(self, cols: list[str] | None = None) -> CommitResult:
+        """Turn on per-file key bloom filters (lake/bloom.py) for every
+        subsequent write. ``cols`` defaults to the table's key columns.
+        Metadata-only commit; existing files stay bloom-less (they always
+        survive pruning) until a compact/rebucket rewrites them."""
+        snap = self.snapshot()
+        cols = list(cols) if cols is not None else list(snap.key_cols)
+        if not cols:
+            raise ValueError("enable_blooms needs columns (or table key columns)")
+        names = {f.name.lower() for f in snap.schema.fields}
+        missing = [c for c in cols if c.lower() not in names]
+        if missing:
+            raise ValueError(f"bloom columns not in schema: {missing}")
+        return self.commit_rewrite(
+            adds=[],
+            removes=[],
+            operation="set-properties",
+            properties={PROP_BLOOM_COLS: json.dumps(cols)},
+            summary={"bloom_cols": cols},
+            expected_version=snap.version + 1,
+        )
+
     def append(self, df: DataFrame, properties: dict | None = None) -> CommitResult:
         snap = self.snapshot()
-        adds = self._stage_dataframe(df, snap.schema, snap.num_buckets, snap.key_cols)
+        adds = self._stage_dataframe(
+            df, snap.schema, snap.num_buckets, snap.key_cols,
+            bloom_cols=_bloom_cols_of(snap),
+        )
         return self._commit(
             {
                 "operation": "append",
@@ -926,7 +965,10 @@ class LakeTable:
     ) -> CommitResult:
         snap = self.snapshot()
         schema = schema or df.schema
-        adds = self._stage_dataframe(df, schema, snap.num_buckets, snap.key_cols)
+        adds = self._stage_dataframe(
+            df, schema, snap.num_buckets, snap.key_cols,
+            bloom_cols=_bloom_cols_of(snap),
+        )
         return self._commit(
             {
                 "operation": "overwrite",
@@ -1151,6 +1193,7 @@ class LakeTable:
                 sort_by=sort_exprs,
                 max_records_per_file=mrpf,
                 subpartition=subpartition,
+                bloom_cols=_bloom_cols_of(snap),
             )
         else:
             if bin_pack_rows:
@@ -1213,6 +1256,7 @@ class LakeTable:
                 files_per_bucket=files_per_bucket,
                 sort_by=sort_exprs,
                 subpartition=subpartition,
+                bloom_cols=_bloom_cols_of(snap),
                 max_records_per_file=mrpf,
             )
         summary = {"files_compacted": len(victims), "files_written": len(adds)}
@@ -1333,7 +1377,10 @@ class LakeTable:
                 version=snap.version, summary={"rebucketed": False}
             )
         df = self._read_files(list(snap.files), snap.schema, files_meta=snap.files)
-        adds = self._stage_dataframe(df, snap.schema, num_buckets, snap.key_cols)
+        adds = self._stage_dataframe(
+            df, snap.schema, num_buckets, snap.key_cols,
+            bloom_cols=_bloom_cols_of(snap),
+        )
         return self.commit_rewrite(
             adds=adds,
             removes=list(snap.files),
@@ -1387,6 +1434,13 @@ class LakeTable:
                 d
                 for m in s.files.values()
                 for d in ((m or {}).get("dv", []) + (m or {}).get("edv", []))
+            )
+            # bloom sidecar blobs are shared by every file of their commit —
+            # live while any referencing file is
+            out.update(
+                m["bf"]["ref"]
+                for m in s.files.values()
+                if (m or {}).get("bf", {}).get("ref")
             )
             return out
 
@@ -1580,6 +1634,8 @@ class LakeTable:
                 add = {"path": p, "rows": m.get("rows"), "bucket": m.get("bucket")}
                 if m.get("stats"):
                     add["stats"] = m["stats"]
+                if m.get("bf"):
+                    add["bf"] = m["bf"]
                 adds.append(add)
                 # delete refs acquired on branch-added files re-attach via
                 # the same entry's dv/edv maps (snapshot applies adds first)

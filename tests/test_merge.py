@@ -31,7 +31,10 @@ def test_merge_insert_only(spark, tmp_table_root):
         "rows_inserted": 1,
         "rows_updated": 0,
         "rows_deleted": 0,
-    } | {k: res.summary[k] for k in ("buckets_rewritten", "files_carried")}
+    } | {
+        k: res.summary[k]
+        for k in ("buckets_rewritten", "files_carried", "files_skipped_by_bloom")
+    }
     got = {(r.k, r.v, r.tag) for r in t.read().collect()}
     assert got == {("a", 1, "old"), ("b", 2, "old"), ("c", 3, "new")}
 
