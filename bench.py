@@ -79,6 +79,81 @@ def bench_cdc_replay(spark, n_events: int, epochs: int, workdir: str) -> dict:
     }
 
 
+def bench_bloom_amplification(spark) -> dict:
+    """Write-amplification of a SELECTIVE merge, bloom vs bucket-grain.
+
+    Reported as FILE COUNTS (drift-free on this noisy host — the claim is
+    about how much gets rewritten, not how fast): identical 400k-row
+    bucketed tables built by EIGHT appends (the CDC posture: files
+    accumulate per bucket across epochs), then one 12-key upsert each.
+    The bloom table must rewrite only the files that may contain a source
+    key; the control rewrites every file of every touched bucket. Wall
+    times ride along as informational extras (bloom build + probe overhead
+    vs rewrite saved)."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from techtalk_data_pipeline_snowpark_spark.lake import LakeTable, merge_into
+
+    schema = "repo string, path string, commit string, v long"
+
+    def chunk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("org/repo-"), (F.col("id") % 97).cast("string")).alias("repo"),
+            F.concat(F.lit("src/f"), F.col("id").cast("string"), F.lit(".py")).alias("path"),
+            F.sha1(F.col("id").cast("string")).alias("commit"),
+            F.col("id").alias("v"),
+        )
+
+    src = (
+        spark.range(0, 12)
+        .select(
+            F.concat(F.lit("org/repo-"), (F.col("id") % 97).cast("string")).alias("repo"),
+            F.concat(F.lit("src/f"), (F.col("id") * 6553).cast("string"), F.lit(".py")).alias("path"),
+            F.lit("updated").alias("commit"),
+            (F.col("id") + 1_000_000).alias("v"),
+        )
+    )
+    out = {}
+    root = _tf.mkdtemp(prefix="bench_bloom_")
+    try:
+        for tag, bloom in (("bloom", True), ("control", False)):
+            t = LakeTable.create(
+                spark,
+                os.path.join(root, tag),
+                spark.createDataFrame([], schema).schema,
+                key_cols=["repo", "path"],
+                num_buckets=8,
+            )
+            if bloom:
+                t.enable_blooms()
+            t0 = time.time()
+            for i in range(8):
+                t.append(chunk(i * 50_000, (i + 1) * 50_000))
+            build_sec = round(time.time() - t0, 3)
+            t0 = time.time()
+            res = merge_into(t, src, on=["repo", "path"])
+            merge_sec = round(time.time() - t0, 3)
+            s = res.summary
+            # exact rewrite count = the merge commit's remove list length
+            entry = t.log_entries(t.latest_version(), t.latest_version())[0]
+            out[tag] = {
+                "files_rewritten": len(entry.get("remove", [])),
+                "files_carried": s["files_carried"],
+                "files_skipped_by_bloom": s["files_skipped_by_bloom"],
+                "buckets_rewritten": s["buckets_rewritten"],
+                "append_sec": build_sec,
+                "merge_sec": merge_sec,
+            }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out["amplification_ratio_control_over_bloom"] = round(
+        out["control"]["files_rewritten"] / max(1, out["bloom"]["files_rewritten"]), 2
+    )
+    return out
+
+
 def bench_skewed_dedup(spark, sf_dir: str) -> dict:
     """Adversarially skewed corpus: the documents table plus a planted
     2,000-copy boilerplate mega-cluster. Proves the LSH quadratic tail is
@@ -223,6 +298,8 @@ def main():
     timings["simhash_skewed"] = skew["simhash_skewed_sec"]
     timings["embedding_lsh"] = skew["embedding_lsh_sec"]
 
+    bloom_amp = bench_bloom_amplification(spark)
+
     probes.append(host_probe())  # end-of-run sample
     probe_mean = round(sum(probes) / len(probes), 3)
     # Ratio-to-probe normalization (cross-round comparable BY CONSTRUCTION):
@@ -261,6 +338,7 @@ def main():
             "simhash_bucket_stats": skew["simhash_bucket_stats"],
             "embedding_lsh_pairs": skew["embedding_lsh_pairs"],
             "embedding_bucket_stats": skew["embedding_bucket_stats"],
+            "bloom_merge_amplification": bloom_amp,
         },
     }
     print(json.dumps(out))
