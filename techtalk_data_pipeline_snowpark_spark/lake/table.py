@@ -367,7 +367,54 @@ class LakeTable:
         return Snapshot(version, schema, files, key_cols, num_buckets, props)
 
     # ---------------------------------------------------------------- read
-    def read(self, version: int | None = None) -> DataFrame:
+    def version_as_of(self, timestamp: float) -> int:
+        """Greatest committed version whose commit time is <= ``timestamp``
+        (epoch seconds) — Snowflake ``AT(TIMESTAMP => ...)`` / Iceberg
+        snapshot-as-of-time semantics. Commit times are the log entries'
+        own ``timestamp`` fields, so the mapping survives restarts. Raises
+        if ``timestamp`` predates the oldest retained version (the horizon
+        ``vacuum_metadata`` / ``expire_snapshots`` may have pruned)."""
+        # log_entries yields in version order starting at oldest_version();
+        # entries don't embed their version, so index arithmetic names it
+        oldest = self.oldest_version()
+        best = None
+        for i, e in enumerate(self.log_entries(oldest)):
+            ts = e.get("timestamp")
+            if ts is not None and ts <= timestamp:
+                best = oldest + i
+        if best is None:
+            raise ValueError(
+                f"no retained version at or before timestamp {timestamp} "
+                f"(oldest retained: {oldest})"
+            )
+        return best
+
+    def expire_snapshots(self, older_than: float) -> dict:
+        """Time-based retention (Iceberg ``expireSnapshots(olderThan)``):
+        keep every version committed at or after ``older_than`` (epoch
+        seconds) plus the newest one before it (the as-of base, so
+        ``version_as_of(older_than)`` keeps answering); reclaim data files
+        and log entries beyond that horizon. Tagged / branch-referenced
+        snapshots stay live regardless (vacuum's ref-awareness). Returns
+        {"data_files_removed", "log_entries_removed", "retained_from"}."""
+        latest = self.latest_version()
+        base = self.version_as_of(older_than)
+        retain = latest - base
+        removed = self.vacuum(retain_versions=retain)
+        pruned = self.vacuum_metadata(retain_versions=retain)
+        return {
+            "data_files_removed": removed,
+            "log_entries_removed": pruned,
+            "retained_from": base,
+        }
+
+    def read(
+        self, version: int | None = None, timestamp: float | None = None
+    ) -> DataFrame:
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version or timestamp, not both")
+            version = self.version_as_of(timestamp)
         snap = self.snapshot(version)
         return self._read_files(list(snap.files), snap.schema, files_meta=snap.files)
 
