@@ -270,7 +270,7 @@ def _load_file_blooms(table, metas, cols, by_kind):
     out = []
     for p, meta in metas:
         bf = (meta or {}).get("bf")
-        if not bf or bf.get("a") != BF_ALGO:
+        if not bf or bf.get("a") != BF_ALGO or not bf.get("ref"):
             continue
         usable = {}
         for c in cols:
