@@ -723,6 +723,100 @@ SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'N', CAST(1.0 AS DOUBLE)),
 """
 
 
+def ivm_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance under the exact-oracle gate — the
+    hard IVM case (lake/ivm_join.py): a materialized orders JOIN customer
+    is kept in sync from BOTH sources' changelogs by delta-scoped
+    recompute of the dirty join region (one stamped MERGE per refresh),
+    through mutations on both sides: order price updates + deletes + an
+    insert, customer renames + a delete. The reference recomputes joined
+    analytics per DAG tick (DataQuality.scala's 3-way join re-runs in
+    full); here three incremental refreshes must equal the SQL join of the
+    final mutated state exactly — a stale tombstone or a double-applied
+    dirty region would hash-mismatch."""
+    from techtalk_data_pipeline_snowpark_spark.lake.ivm_join import (
+        IncrementalJoinView,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    root = tempfile.mkdtemp(prefix="ivmjoin_")
+    a = LakeTable.create(
+        spark, os.path.join(root, "orders"), orders.schema,
+        key_cols=["o_orderkey"], num_buckets=4,
+    )
+    a.append(orders)
+    b = LakeTable.create(
+        spark, os.path.join(root, "customer"), cust.schema,
+        key_cols=["c_custkey"], num_buckets=4,
+    )
+    b.append(cust)
+    view = IncrementalJoinView(
+        spark, a, b, os.path.join(root, "view"),
+        on=["custkey"],
+        select={
+            "custkey": ("a", "custkey"),
+            "o_totalprice": ("a", "o_totalprice"),
+            "c_name": ("b", "c_name"),
+        },
+        num_buckets=4,
+    )
+    view.refresh()  # initial materialization
+    # left-side episode: price doubling, deletes, one new order
+    merge_into(
+        a,
+        orders.where(F.col("o_orderkey") % 100 == 0).select(
+            "o_orderkey", "custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ),
+        on=["o_orderkey"],
+    )
+    lake_delete(a, F.col("o_orderkey") % 100 == 1)
+    a.append(
+        spark.createDataFrame(
+            [(-1, 7, 123.0)],
+            "o_orderkey long, custkey long, o_totalprice double",
+        )
+    )
+    view.refresh()
+    # right-side episode: renames + a customer delete (drops its pairs)
+    merge_into(
+        b,
+        cust.where(F.col("c_custkey") % 50 == 0).select(
+            "c_custkey", "custkey", F.lit("X").alias("c_name")
+        ),
+        on=["c_custkey"],
+    )
+    lake_delete(b, F.col("c_custkey") % 50 == 1)
+    view.refresh()
+    return view.read().select(
+        "a_o_orderkey", "b_c_custkey", "custkey", "o_totalprice", "c_name"
+    )
+
+
+_IVM_JOIN_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS custkey,
+         CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 <> 1
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), CAST(7 AS BIGINT), CAST(123.0 AS DOUBLE)
+), c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 50 = 0 THEN 'X' ELSE c_name END AS c_name
+  FROM customer WHERE c_custkey % 50 <> 1
+)
+SELECT o.o_orderkey AS a_o_orderkey, c.c_custkey AS b_c_custkey,
+       o.custkey, o.o_totalprice, c.c_name
+FROM o JOIN c ON o.custkey = c.c_custkey
+"""
+
+
 def equality_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equality deletes under the exact-oracle gate: the key set itself is
     committed (Iceberg v2 equality-delete shape — ZERO table scan, no
@@ -1761,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_delete_orders": dv_delete_orders,
         "zorder_pruned_scan": zorder_pruned_scan,
         "bloom_merge_orders": bloom_merge_orders,
+        "ivm_join_orders_customer": ivm_join_orders_customer,
         "equality_delete_orders": equality_delete_orders,
         "rebucket_orders": rebucket_orders,
         "ivm_orders_by_status": ivm_orders_by_status,
@@ -1810,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
         "dv_delete_orders": _DV_DELETE_ORACLE,
         "zorder_pruned_scan": _ZORDER_ORACLE,
         "bloom_merge_orders": _BLOOM_MERGE_ORACLE,
+        "ivm_join_orders_customer": _IVM_JOIN_ORACLE,
         "equality_delete_orders": _EQUALITY_DELETE_ORACLE,
         "rebucket_orders": _REBUCKET_ORACLE,
         "ivm_orders_by_status": _IVM_ORACLE,
