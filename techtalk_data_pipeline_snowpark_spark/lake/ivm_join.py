@@ -25,10 +25,20 @@ production incremental pipelines use:
 
 Result-row identity = a.key_cols + b.key_cols (prefixed ``a_``/``b_`` in
 the view), so duplicate join-column values on either side stay exact —
-every (left row, right row) pair is its own view row. Inner-join
-semantics: null join columns match nothing. The view is itself a
-LakeTable, so time travel, changelog, cursors, blooms, and vacuum all
-apply to the maintained result.
+every (left row, right row) pair is its own view row. Null join columns
+match nothing (equi-join semantics). The view is itself a LakeTable, so
+time travel, changelog, cursors, blooms, and vacuum all apply to the
+maintained result — and chaining works: an ``IncrementalAggView`` over a
+join view's changelog is a two-stage maintained DAG with no extra code.
+
+``how="left"`` maintains a LEFT OUTER join: unmatched left rows carry a
+null-extended b side (their identity keys off the a keys alone — the
+merge's eqNullSafe key join keeps them exact). Left refresh uses the
+dirty-JOIN-VALUE formulation: a b-side change can create or destroy an
+a-row's null-extension, so every a-row whose join value appears in b's
+changelog window (update preimages included — a moved b row names its old
+value only there) is re-derived with a LEFT join against b at the pinned
+version; a-rows changed by key are re-derived the same way.
 
 Reference parity: the reference recomputes its joined analytics per DAG
 tick (e.g. the 3-way join of DataQuality.scala re-runs in full); at 10^10
@@ -65,7 +75,10 @@ class IncrementalJoinView:
         select: dict[str, tuple[str, str]],
         num_buckets: int = 8,
         dirty_inlist_cap: int = 10_000,
+        how: str = "inner",
     ):
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
         self.spark = spark
         self.a = source_a
         self.b = source_b
@@ -74,6 +87,7 @@ class IncrementalJoinView:
         self.select = dict(select)
         self.num_buckets = num_buckets
         self.dirty_inlist_cap = dirty_inlist_cap
+        self.how = how
         ka = source_a.snapshot().key_cols
         kb = source_b.snapshot().key_cols
         if not ka or not kb:
@@ -105,11 +119,11 @@ class IncrementalJoinView:
         return self.table().read()
 
     # ------------------------------------------------------------- helpers
-    def _project(self, a_df: DataFrame, b_df: DataFrame) -> DataFrame:
+    def _project(self, a_df: DataFrame, b_df: DataFrame, how: str = "inner") -> DataFrame:
         j = a_df.alias("a").join(
             b_df.alias("b"),
             on=[F.col(f"a.{c}") == F.col(f"b.{c}") for c in self.on],
-            how="inner",
+            how=how,
         )
         cols = [F.col(f"a.{k}").alias(o) for k, o in zip(self._ka, self.a_keys)]
         cols += [F.col(f"b.{k}").alias(o) for k, o in zip(self._kb, self.b_keys)]
@@ -119,11 +133,29 @@ class IncrementalJoinView:
         ]
         return j.select(*cols)
 
-    def _dirty(self, src: LakeTable, keys: list[str], last: int, upto: int):
-        """(dirty-key DataFrame or None, driver-side tuples if under cap)."""
+    def _dirty(
+        self,
+        src: LakeTable,
+        keys: list[str],
+        last: int,
+        upto: int,
+        emit_preimages: bool = False,
+        drop_null: bool = False,
+    ):
+        """(dirty-key DataFrame or None, driver-side tuples if under cap).
+
+        ``emit_preimages=True`` when collecting dirty JOIN-COLUMN values: a
+        keyed update that MOVES a row's join value names the old value only
+        in the update preimage. ``drop_null`` excludes null join values —
+        they match nothing under equi-join semantics, so they can't dirty
+        the other side (and None breaks IN-list literals)."""
         if upto <= last:
             return None, None
-        ch = src.read_changelog(last, upto).select(*keys).distinct()
+        ch = src.read_changelog(last, upto, emit_preimages=emit_preimages)
+        ch = ch.select(*keys).distinct()
+        if drop_null:
+            for k in keys:
+                ch = ch.where(F.col(k).isNotNull())
         head = ch.limit(self.dirty_inlist_cap + 1).collect()
         if len(head) <= self.dirty_inlist_cap:
             return ch, [tuple(r[k] for k in keys) for r in head]
@@ -187,7 +219,7 @@ class IncrementalJoinView:
                 PROP_SOURCE_VERSION_B: str(vb),
             }
             if vsnap is None:
-                full = self._project(a1, b1)
+                full = self._project(a1, b1, self.how)
                 try:
                     vt = LakeTable.create(
                         self.spark,
@@ -214,31 +246,69 @@ class IncrementalJoinView:
                     "merge": res.summary,
                 }
             da, da_vals = self._dirty(self.a, self._ka, la, va)
-            db, db_vals = self._dirty(self.b, self._kb, lb, vb)
-            a_dirty = self._filter_dirty(a1, self._ka, da, da_vals, keep=True)
-            a_clean = self._filter_dirty(a1, self._ka, da, da_vals, keep=False)
-            b_dirty = self._filter_dirty(b1, self._kb, db, db_vals, keep=True)
-            new_region = self._project(a_dirty, b1).unionByName(
-                self._project(a_clean, b_dirty)
-            )
-            # affected old pairs: view rows citing a dirty key on either side
             view_df = vt.read(version=vsnap.version)
-            da_view = da.toDF(*self.a_keys) if da is not None else None
-            db_view = db.toDF(*self.b_keys) if db is not None else None
-            aff_a = self._filter_dirty(
-                view_df, self.a_keys, da_view, da_vals, keep=True
-            )
-            aff_b = self._filter_dirty(
-                view_df, self.b_keys, db_view, db_vals, keep=True
-            )
-            affected = aff_a.unionByName(aff_b).dropDuplicates(
-                self.a_keys + self.b_keys
-            )
-            tombstones = affected.join(
-                new_region.select(*self.a_keys, *self.b_keys),
-                on=self.a_keys + self.b_keys,
-                how="left_anti",
-            )
+            if self.how == "left":
+                # LEFT join needs the dirty-JOIN-VALUE formulation: a b-side
+                # change can create OR destroy an a-row's null-extension, so
+                # every a-row whose join value appears in b's changelog
+                # (preimages included — a moved b row names its OLD value
+                # only there) is re-derived with a LEFT join against b@vb.
+                djk, djk_vals = self._dirty(
+                    self.b, self.on, lb, vb, emit_preimages=True, drop_null=True
+                )
+                aff_by_key = self._filter_dirty(a1, self._ka, da, da_vals, keep=True)
+                aff_by_jk = self._filter_dirty(a1, self.on, djk, djk_vals, keep=True)
+                affected_a = aff_by_key.unionByName(aff_by_jk).dropDuplicates(
+                    self._ka
+                )
+                new_region = self._project(affected_a, b1, "left")
+                # every view row derived from an affected a-row is stale;
+                # the view's a-keys name them (works whether the old row was
+                # a pair or a null-extension). DELETED a-rows are not in a1,
+                # so their keys come from the changelog dirty set directly —
+                # without them a dropped left row's view rows would survive
+                # as ghosts.
+                aff_keys = affected_a.select(
+                    *[F.col(k).alias(o) for k, o in zip(self._ka, self.a_keys)]
+                )
+                if da is not None:
+                    aff_keys = aff_keys.unionByName(da.toDF(*self.a_keys))
+                affected = view_df.join(
+                    aff_keys.distinct(), on=self.a_keys, how="left_semi"
+                )
+            else:
+                db, db_vals = self._dirty(self.b, self._kb, lb, vb)
+                a_dirty = self._filter_dirty(a1, self._ka, da, da_vals, keep=True)
+                a_clean = self._filter_dirty(a1, self._ka, da, da_vals, keep=False)
+                b_dirty = self._filter_dirty(b1, self._kb, db, db_vals, keep=True)
+                new_region = self._project(a_dirty, b1).unionByName(
+                    self._project(a_clean, b_dirty)
+                )
+                # affected old pairs: view rows citing a dirty key on either side
+                da_view = da.toDF(*self.a_keys) if da is not None else None
+                db_view = db.toDF(*self.b_keys) if db is not None else None
+                aff_a = self._filter_dirty(
+                    view_df, self.a_keys, da_view, da_vals, keep=True
+                )
+                aff_b = self._filter_dirty(
+                    view_df, self.b_keys, db_view, db_vals, keep=True
+                )
+                affected = aff_a.unionByName(aff_b).dropDuplicates(
+                    self.a_keys + self.b_keys
+                )
+            # NB: merge existence detection keys off the FIRST merge key,
+            # which is an a-side key — never null even for left-join
+            # null-extension rows. The anti-join below must be NULL-SAFE:
+            # a null-extension row's b-keys are null, and a plain equality
+            # anti-join would tombstone it even while it still exists in
+            # the new region (null never equals null), producing a
+            # duplicate-key merge source.
+            nr = new_region.select(*self.a_keys, *self.b_keys).alias("nr")
+            aff = affected.alias("aff")
+            anti = F.lit(True)
+            for k in self.a_keys + self.b_keys:
+                anti = anti & F.col(f"aff.{k}").eqNullSafe(F.col(f"nr.{k}"))
+            tombstones = aff.join(nr, on=anti, how="left_anti").select("aff.*")
             src = new_region.withColumn("__op", F.lit("upsert")).unionByName(
                 tombstones.withColumn("__op", F.lit("delete"))
             )

@@ -194,3 +194,159 @@ def test_view_requires_keyed_sources(spark, tmp_path):
         IncrementalJoinView(
             spark, a, b, str(tmp_path / "v"), on=["cust"], select={}
         )
+
+
+def test_agg_view_over_join_view_chain(spark, tmp_path):
+    """Composition: the join view is itself a LakeTable with a changelog,
+    so an IncrementalAggView maintained OVER it forms a two-stage DAG of
+    materialized views — each stage exactly-once — with zero extra code."""
+    from techtalk_data_pipeline_snowpark_spark.lake.ivm import IncrementalAggView
+
+    a, b = _mk_sources(spark, tmp_path)
+    view = _mk_view(spark, a, b, tmp_path)
+    view.refresh()
+    agg = IncrementalAggView(
+        spark,
+        view.table(),
+        str(tmp_path / "agg"),
+        group_cols=["cust"],
+        sum_cols={"total": "amt"},
+        num_buckets=4,
+    )
+    agg.refresh()
+
+    def recompute():
+        return sorted(
+            (r["cust"], r["cnt"], r["total"])
+            for r in view.read()
+            .groupBy("cust")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("amt").alias("total"))
+            .collect()
+        )
+
+    def aggrows():
+        return sorted(
+            (r["cust"], r["cnt"], r["total"])
+            for r in agg.read().select("cust", "cnt", "total").collect()
+        )
+
+    assert aggrows() == recompute()
+    # mutate both sources; refresh the chain stage by stage
+    merge_into(
+        a, spark.createDataFrame([(3, 0, 999), (50, 1, 500)], A_SCHEMA), on=["oid"]
+    )
+    lake_delete(a, F.col("oid") == 4)
+    merge_into(
+        b,
+        spark.createDataFrame([(101, 4, "moved"), (200, 0, "dup")], B_SCHEMA),
+        on=["cid"],
+    )
+    view.refresh()
+    agg.refresh()
+    assert aggrows() == recompute()
+    # empty a whole join group through the chain
+    lake_delete(b, F.col("cust") == 2)
+    view.refresh()
+    agg.refresh()
+    assert aggrows() == recompute()
+    assert all(r[0] != 2 for r in aggrows())
+
+
+def _recompute_left(a, b):
+    j = a.read().alias("a").join(
+        b.read().alias("b"), on=[F.col("a.cust") == F.col("b.cust")], how="left"
+    )
+    return sorted(
+        (r["a_oid"], r["b_cid"], r["amt"], r["name"], r["cust"])
+        for r in j.select(
+            F.col("a.oid").alias("a_oid"),
+            F.col("b.cid").alias("b_cid"),
+            F.col("a.amt").alias("amt"),
+            F.col("b.name").alias("name"),
+            F.col("a.cust").alias("cust"),
+        ).collect()
+    )
+
+
+def test_left_join_view_null_extension_lifecycle(spark, tmp_path):
+    """LEFT join maintenance: unmatched left rows materialize with a null-
+    extended right side; gaining a first match replaces the extension,
+    losing the last match restores it — all through incremental refreshes."""
+    a = LakeTable.create(
+        spark, str(tmp_path / "a"), A_SCHEMA, key_cols=["oid"], num_buckets=4
+    )
+    b = LakeTable.create(
+        spark, str(tmp_path / "b"), B_SCHEMA, key_cols=["cid"], num_buckets=4
+    )
+    # cust groups 0..6 on the left; only 0..2 matched on the right
+    a.append(spark.createDataFrame([(i, i % 7, i * 10) for i in range(21)], A_SCHEMA))
+    b.append(spark.createDataFrame([(100 + j, j % 3, f"n{j}") for j in range(6)], B_SCHEMA))
+    view = IncrementalJoinView(
+        spark,
+        a,
+        b,
+        str(tmp_path / "view"),
+        on=["cust"],
+        select={"amt": ("a", "amt"), "name": ("b", "name"), "cust": ("a", "cust")},
+        num_buckets=4,
+        how="left",
+    )
+    view.refresh()
+    assert _view_rows(view) == _recompute_left(a, b)
+    # null-extensions exist for the unmatched groups
+    assert any(r[1] is None for r in _view_rows(view))
+
+    # a previously-unmatched group gains its first match → extension dies
+    b.append(spark.createDataFrame([(300, 5, "late")], B_SCHEMA))
+    view.refresh()
+    assert _view_rows(view) == _recompute_left(a, b)
+    assert all(not (r[4] == 5 and r[1] is None) for r in _view_rows(view))
+
+    # the group loses its only match again → extension returns
+    lake_delete(b, F.col("cid") == 300)
+    view.refresh()
+    assert _view_rows(view) == _recompute_left(a, b)
+    assert any(r[4] == 5 and r[1] is None for r in _view_rows(view))
+
+    # a b row MOVES join groups (old value only in the update preimage):
+    # group 1 may lose matches, group 6 gains its first
+    merge_into(b, spark.createDataFrame([(101, 6, "moved")], B_SCHEMA), on=["cid"])
+    view.refresh()
+    assert _view_rows(view) == _recompute_left(a, b)
+
+    # payload-only right change must propagate to CLEAN left rows' pairs
+    merge_into(b, spark.createDataFrame([(100, 0, "renamed")], B_SCHEMA), on=["cid"])
+    view.refresh()
+    assert _view_rows(view) == _recompute_left(a, b)
+    assert any(r[3] == "renamed" for r in _view_rows(view))
+
+    # left-side episode: jk move + delete + insert into an unmatched group
+    merge_into(a, spark.createDataFrame([(0, 6, 111), (50, 4, 500)], A_SCHEMA), on=["oid"])
+    lake_delete(a, F.col("oid") == 1)
+    view.refresh()
+    assert _view_rows(view) == _recompute_left(a, b)
+
+    # idempotence
+    r = view.refresh()
+    assert not r["refreshed"]
+    assert _view_rows(view) == _recompute_left(a, b)
+
+
+def test_left_join_view_both_sides_dirty(spark, tmp_path):
+    a, b = _mk_sources(spark, tmp_path)
+    view = IncrementalJoinView(
+        spark,
+        a,
+        b,
+        str(tmp_path / "view"),
+        on=["cust"],
+        select={"amt": ("a", "amt"), "name": ("b", "name"), "cust": ("a", "cust")},
+        num_buckets=4,
+        how="left",
+    )
+    view.refresh()
+    merge_into(a, spark.createDataFrame([(0, 9, 42)], A_SCHEMA), on=["oid"])  # → unmatched group
+    lake_delete(b, F.col("cust") == 3)  # empties group 3's matches
+    merge_into(b, spark.createDataFrame([(400, 9, "nine")], B_SCHEMA), on=["cid"])  # matches the moved row
+    view.refresh()
+    assert _view_rows(view) == _recompute_left(a, b)
