@@ -1,5 +1,6 @@
 from .changefeed import ChangeBatch, ChangelogCursor, CursorConflict
 from .ivm import IncrementalAggView
+from .ivm_join import IncrementalJoinView
 from .merge import delete, equality_delete_keys, merge_into, mor_delete_keys, update
 from .store import FakeObjectStore, PosixStore, TableStore
 from .table import CommitResult, ConcurrentCommitError, LakeTable, Snapshot, bucket_expr
@@ -10,6 +11,7 @@ __all__ = [
     "ChangelogCursor",
     "CursorConflict",
     "IncrementalAggView",
+    "IncrementalJoinView",
     "TableStore",
     "PosixStore",
     "FakeObjectStore",
