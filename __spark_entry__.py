@@ -798,6 +798,85 @@ def ivm_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivm_left_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER maintained join view under the exact-oracle gate
+    (lake/ivm_join.py, how="left"): customers are restricted to a subset,
+    so many orders carry a NULL-extended customer side; mutations then
+    drive null-extension transitions both ways — a customer DELETE strips
+    rows back to null-extensions, a customer INSERT gives previously
+    unmatched orders their first match — plus order updates. Two
+    incremental refreshes must equal the SQL LEFT JOIN of the final state
+    exactly; a stale null-extension (the left-IVM failure mode) would
+    change the row multiset and hash-mismatch."""
+    from techtalk_data_pipeline_snowpark_spark.lake.ivm_join import (
+        IncrementalJoinView,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust_all = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    cust = cust_all.where(F.col("c_custkey") % 3 == 0)  # unmatched orders exist
+    root = tempfile.mkdtemp(prefix="ivmljoin_")
+    a = LakeTable.create(
+        spark, os.path.join(root, "orders"), orders.schema,
+        key_cols=["o_orderkey"], num_buckets=4,
+    )
+    a.append(orders)
+    b = LakeTable.create(
+        spark, os.path.join(root, "customer"), cust.schema,
+        key_cols=["c_custkey"], num_buckets=4,
+    )
+    b.append(cust)
+    view = IncrementalJoinView(
+        spark, a, b, os.path.join(root, "view"),
+        on=["custkey"],
+        select={
+            "custkey": ("a", "custkey"),
+            "o_totalprice": ("a", "o_totalprice"),
+            "c_name": ("b", "c_name"),
+        },
+        num_buckets=4,
+        how="left",
+    )
+    view.refresh()
+    # matched → unmatched: drop a customer slice; unmatched → matched:
+    # add back a different slice; plus order price updates
+    lake_delete(b, F.col("c_custkey") % 30 == 0)
+    merge_into(
+        a,
+        orders.where(F.col("o_orderkey") % 200 == 0).select(
+            "o_orderkey", "custkey",
+            (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+        ),
+        on=["o_orderkey"],
+    )
+    view.refresh()
+    b.append(cust_all.where(F.col("c_custkey") % 3 == 1))
+    view.refresh()
+    return view.read().select(
+        "a_o_orderkey", "b_c_custkey", "custkey", "o_totalprice", "c_name"
+    )
+
+
+_IVM_LEFT_JOIN_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS custkey,
+         CASE WHEN o_orderkey % 200 = 0 THEN o_totalprice + 5.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), c AS (
+  SELECT c_custkey, c_name FROM customer
+  WHERE (c_custkey % 3 = 0 AND c_custkey % 30 <> 0) OR c_custkey % 3 = 1
+)
+SELECT o.o_orderkey AS a_o_orderkey, c.c_custkey AS b_c_custkey,
+       o.custkey, o.o_totalprice, c.c_name
+FROM o LEFT JOIN c ON o.custkey = c.c_custkey
+"""
+
+
 _IVM_JOIN_ORACLE = """
 WITH o AS (
   SELECT o_orderkey, o_custkey AS custkey,
@@ -1856,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruned_scan": zorder_pruned_scan,
         "bloom_merge_orders": bloom_merge_orders,
         "ivm_join_orders_customer": ivm_join_orders_customer,
+        "ivm_left_join_orders_customer": ivm_left_join_orders_customer,
         "equality_delete_orders": equality_delete_orders,
         "rebucket_orders": rebucket_orders,
         "ivm_orders_by_status": ivm_orders_by_status,
@@ -1906,6 +1986,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_pruned_scan": _ZORDER_ORACLE,
         "bloom_merge_orders": _BLOOM_MERGE_ORACLE,
         "ivm_join_orders_customer": _IVM_JOIN_ORACLE,
+        "ivm_left_join_orders_customer": _IVM_LEFT_JOIN_ORACLE,
         "equality_delete_orders": _EQUALITY_DELETE_ORACLE,
         "rebucket_orders": _REBUCKET_ORACLE,
         "ivm_orders_by_status": _IVM_ORACLE,
