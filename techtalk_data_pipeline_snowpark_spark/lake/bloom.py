@@ -277,6 +277,21 @@ def _load_file_blooms(table, metas, cols, by_kind):
             cm = (bf.get("cols") or {}).get(c)
             if not cm or cm.get("t") != by_kind.get(c):
                 continue
+            # meta sanity: n bytes must back exactly m bits (m is rounded to
+            # whole 64-bit words at build time, so m//8 == n always holds for
+            # entries we wrote). A corrupted/hand-edited meta with m > 8n
+            # would make might_contain index past the buffer inside an
+            # executor — degrade to no-pruning like every other bloom
+            # failure path instead of failing the merge job.
+            if (
+                not isinstance(cm.get("m"), int)
+                or not isinstance(cm.get("k"), int)
+                or not isinstance(cm.get("n"), int)
+                or cm["m"] <= 0
+                or cm["k"] <= 0
+                or cm["m"] // 8 != cm["n"]
+            ):
+                continue
             ref = bf["ref"]
             if ref not in blobs:
                 try:
@@ -325,8 +340,27 @@ def surviving_files_by_bloom(
     # mismatch would make hashes differ and prune a file that DOES hold the
     # key (a false negative = a wrong merge). Point-literal pruning still
     # covers timestamps (its literals share the stats normalization).
-    if any(by_kind[c] in (None, "t") for c in key_cols):
+    # "f" (float) keys are excluded too: Arrow→pandas delivers BOTH null and
+    # NaN float slots as NaN, so the probe cannot tell a null source key
+    # (matches nothing) from a NaN one (matches NaN under Spark's NaN=NaN
+    # join semantics) — masking it risks a false negative, hashing it risks
+    # none but makes nulls "match". Float merge keys are pathological
+    # anyway; they simply don't prune.
+    if any(by_kind[c] in (None, "t", "f") for c in key_cols):
         return touched_files, 0
+    # The probe hashes RAW source values; the blooms were built from values
+    # under the TARGET schema. A cross-kind source column (e.g. string keys
+    # against a long target column — which the merge's eqNullSafe join still
+    # matches via implicit cast) would hash differently and silently skip a
+    # matching file (lost update + duplicate insert), or crash _norm_np in
+    # the executor. Same-kind width differences are safe (_norm_np widens
+    # i→int64 / f→float64, and pandas hashes equal values identically), so
+    # only a kind mismatch disqualifies pruning.
+    src_fields = {f.name.lower(): f for f in source.schema.fields}
+    for c in key_cols:
+        sf = src_fields.get(c.lower())
+        if sf is None or kind_of(sf.dataType) != by_kind[c]:
+            return touched_files, 0
     metas = [(p, snap.files.get(p)) for p in touched_files]
     with_bf = _load_file_blooms(table, metas, key_cols, by_kind)
     if not with_bf:
@@ -395,8 +429,12 @@ def surviving_files_by_bloom(
                         surv.add(fi)
         yield pd.DataFrame({"i": np.array(sorted(surv), dtype=np.int64)})
 
+    # alias each key to its canonical name: a case-mismatched source column
+    # (resolved case-insensitively by Spark) would otherwise KeyError in the
+    # executor's pdf[c] lookup
     probed = source.select(
-        *keys, bucket_expr(keys, snap.num_buckets, snap.schema).alias("_b")
+        *[F.col(c).alias(c) for c in keys],
+        bucket_expr(keys, snap.num_buckets, snap.schema).alias("_b"),
     )
     rows = probed.mapInPandas(probe, schema="i long").distinct().collect()
     alive = {paths[int(r["i"])] for r in rows}

@@ -168,11 +168,24 @@ class IncrementalJoinView:
     @staticmethod
     def _key_pred(keys: list[str], vals: list[tuple]):
         """Literal predicate over the key tuple — single column is a plain
-        pushdown-able IN; composite keys expand to OR-of-conjunctions."""
+        pushdown-able IN; composite keys expand to OR-of-conjunctions.
+
+        Null-safe like the composite path's eqNullSafe: a bare ``isin``
+        returns NULL for a null-keyed row, and its negation (the clean-side
+        filter) is also NULL — the row would silently vanish from BOTH the
+        dirty and clean sets. ``isNotNull & isin`` is never NULL (both
+        conjuncts remain pushdown-able scan filters), and a null literal in
+        the dirty set (possible on non-key join columns) ORs in ``isNull``.
+        """
         if not vals:
             return F.lit(False)
         if len(keys) == 1:
-            return F.col(keys[0]).isin([v[0] for v in vals])
+            col = F.col(keys[0])
+            nn = [v[0] for v in vals if v[0] is not None]
+            pred = (col.isNotNull() & col.isin(nn)) if nn else F.lit(False)
+            if len(nn) < len(vals):
+                pred = pred | col.isNull()
+            return pred
         pred = F.lit(False)
         for v in vals:
             conj = F.lit(True)

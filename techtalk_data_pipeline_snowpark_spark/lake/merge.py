@@ -198,7 +198,15 @@ def merge_into(
         t_exists = F.col("t.__t_exists").isNotNull()
         s_exists = F.col("s.__s_exists").isNotNull()
     else:
-        tgt = tgt.alias("t")
+        # Existence detection via explicit marker columns (two lit-1 ints
+        # through the shuffle — negligible vs the payload), NOT key
+        # null-ness: the eqNullSafe join is total even for null keys, but
+        # ``t.keys[0] IS NOT NULL`` would misclassify a null-first-key row
+        # as absent and corrupt its arbitration (r5: the IVM join view keys
+        # its rows off source keys that CAN be null-first when a left-join
+        # null-extension's a-side key is null-keyed upstream).
+        tgt = tgt.withColumn("__t_exists", F.lit(1)).alias("t")
+        src = source.withColumn("__s_exists", F.lit(1)).alias("s")
         # Join strategy deliberately left to Catalyst (sort-merge under
         # AQE): a full-outer shuffle_hash hint was measured (r2, 8M×2
         # epochs, 4×2 executors, 2 runs each) at parity within JVM noise —
@@ -209,10 +217,8 @@ def merge_into(
             on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
             how="full_outer",
         )
-        t_exists = F.col(f"t.{keys[0]}").isNotNull()
-        s_exists = F.col(f"s.{keys[0]}").isNotNull()
-    # NB: null keys — the CDC engine forbids null keys; eqNullSafe keeps the
-    # join total anyway.
+        t_exists = F.col("t.__t_exists").isNotNull()
+        s_exists = F.col("s.__s_exists").isNotNull()
 
     # ---- merge metrics ride the arbitration job itself (Dataset.observe):
     # no separate probe job/scan — at epoch cadence the extra Spark job per
@@ -251,11 +257,14 @@ def merge_into(
         return [F.col(f"t.{c}").alias(c) for c in tcols]
 
     def source_row():
-        scols = set(source.columns)
+        # case-insensitive source-column resolution, matching the session's
+        # spark.sql.caseSensitive=false: a source arriving as REPO/PATH must
+        # feed target repo/path, not silently insert nulls
+        scols = {c.lower(): c for c in source.columns}
         return [
-            (F.col(f"s.{c}") if c in scols else F.lit(None)).cast(
-                schema[c].dataType
-            ).alias(c)
+            (
+                F.col(f"s.{scols[c.lower()]}") if c.lower() in scols else F.lit(None)
+            ).cast(schema[c].dataType).alias(c)
             for c in tcols
         ]
 

@@ -72,6 +72,12 @@ class TableStore:
     def read_bytes(self, rel: str) -> bytes:
         raise NotImplementedError
 
+    def exists(self, rel: str) -> bool:
+        """Does the object exist? (S3: HEAD Object; ADLS/GCS: GetProperties /
+        Objects.get.) Used by time travel to verify a resolved snapshot's
+        data files survived vacuum before handing the version to a reader."""
+        raise NotImplementedError
+
     def list_dir(self, rel: str) -> list[str]:
         """Immediate child names under ``rel`` (one path segment, no
         separators) — missing prefix lists as empty, like an object store."""
@@ -144,6 +150,9 @@ class PosixStore(TableStore):
     def read_bytes(self, rel: str) -> bytes:
         with open(self._abs(rel), "rb") as f:
             return f.read()
+
+    def exists(self, rel: str) -> bool:
+        return os.path.isfile(self._abs(rel))
 
     def list_dir(self, rel: str) -> list[str]:
         d = self._abs(rel)
@@ -241,6 +250,10 @@ class FakeObjectStore(TableStore):
     def read_bytes(self, rel: str) -> bytes:
         with open(self._abs(rel), "rb") as f:
             return f.read()
+
+    def exists(self, rel: str) -> bool:
+        self.lists += 1  # HEAD Object counts as a (metadata) request
+        return os.path.isfile(self._abs(rel))
 
     def list_dir(self, rel: str) -> list[str]:
         self.lists += 1

@@ -367,13 +367,23 @@ class LakeTable:
         return Snapshot(version, schema, files, key_cols, num_buckets, props)
 
     # ---------------------------------------------------------------- read
-    def version_as_of(self, timestamp: float) -> int:
+    def version_as_of(self, timestamp: float, check_data: bool = True) -> int:
         """Greatest committed version whose commit time is <= ``timestamp``
         (epoch seconds) — Snowflake ``AT(TIMESTAMP => ...)`` / Iceberg
         snapshot-as-of-time semantics. Commit times are the log entries'
         own ``timestamp`` fields, so the mapping survives restarts. Raises
-        if ``timestamp`` predates the oldest retained version (the horizon
-        ``vacuum_metadata`` / ``expire_snapshots`` may have pruned)."""
+        ValueError if ``timestamp`` predates the oldest retained version
+        (the horizon ``vacuum_metadata`` / ``expire_snapshots`` may have
+        pruned) — OR if it resolves into the metadata-only tail: after
+        ``vacuum`` with a checkpoint gap, log entries can survive back to
+        the newest checkpoint ≤ the horizon while the DATA files of those
+        versions were already reclaimed; without the check, ``read`` would
+        fail later with raw missing-file errors instead of the documented
+        retention ValueError. The check stats only files absent from the
+        LATEST snapshot (those are trivially live), so a within-horizon
+        resolve costs no more than the file-set diff; ``check_data=False``
+        skips it for callers that need only the version arithmetic
+        (``expire_snapshots``)."""
         # log_entries yields in version order starting at oldest_version();
         # entries don't embed their version, so index arithmetic names it
         oldest = self.oldest_version()
@@ -387,6 +397,18 @@ class LakeTable:
                 f"no retained version at or before timestamp {timestamp} "
                 f"(oldest retained: {oldest})"
             )
+        if check_data:
+            latest = self.latest_version()
+            if best != latest:
+                snap = self.snapshot(best)
+                live = set(self.snapshot(latest).files)
+                for p in snap.files:
+                    if p not in live and not self.store.exists(p):
+                        raise ValueError(
+                            f"version {best} (as of timestamp {timestamp}) is "
+                            f"beyond the data retention horizon: its data "
+                            f"files were vacuumed (metadata-only tail)"
+                        )
         return best
 
     def expire_snapshots(self, older_than: float) -> dict:
@@ -398,7 +420,7 @@ class LakeTable:
         snapshots stay live regardless (vacuum's ref-awareness). Returns
         {"data_files_removed", "log_entries_removed", "retained_from"}."""
         latest = self.latest_version()
-        base = self.version_as_of(older_than)
+        base = self.version_as_of(older_than, check_data=False)
         retain = latest - base
         removed = self.vacuum(retain_versions=retain)
         pruned = self.vacuum_metadata(retain_versions=retain)

@@ -250,3 +250,91 @@ def test_enable_blooms_validates_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         t.enable_blooms(["nope"])
+
+
+# ------------------------------------------------- r5 advice regressions
+def test_cross_kind_source_keys_disable_pruning_not_correctness(spark, tmp_path):
+    # ADVICE r4: a merge source whose key dtype differs in KIND from the
+    # table's (string keys against a long column) hashes differently than
+    # the build side — before the fix, a bloom false negative silently
+    # skipped the matching file (lost update + duplicate insert). Now the
+    # probe bails to no-pruning on any kind mismatch.
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "x"), schema, key_cols=["id"], num_buckets=2
+    )
+    t.enable_blooms()
+    t.append(spark.createDataFrame([(i, i * 10) for i in range(200)], schema))
+    # string-typed source keys: the merge's join still matches via implicit
+    # cast, so the update MUST land
+    src = spark.createDataFrame(
+        [("7", 999), ("11", 999)], "id string, v long"
+    )
+    res = M.merge_into(t, src, on=["id"])
+    assert res.summary["files_skipped_by_bloom"] == 0  # pruning bailed
+    assert res.summary["rows_updated"] == 2
+    assert res.summary["rows_inserted"] == 0
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[7] == 999 and rows[11] == 999 and len(rows) == 200
+
+
+def test_case_mismatched_source_key_names_still_probe(spark, tmp_path):
+    # source columns arriving as REPO/PATH (resolved case-insensitively by
+    # Spark) must not KeyError inside the probe's pdf[c] lookup
+    t = _mk(spark, str(tmp_path / "cc"), n=1000, buckets=2)
+    src = spark.createDataFrame(
+        [("r1", "p8", 555)], "REPO string, PATH string, V long"
+    )
+    res = M.merge_into(t, src, on=["repo", "path"])
+    assert res.summary["files_skipped_by_bloom"] > 0
+    assert t.read().where("path='p8'").first()["v"] == 555
+
+
+def test_nan_float_keys_disable_pruning_not_correctness(spark, tmp_path):
+    # ADVICE r4: Arrow→pandas delivers null and NaN float slots both as
+    # NaN, so the probe can't distinguish "matches nothing" (null) from
+    # "matches NaN" (Spark NaN=NaN join semantics). Float kinds now bail
+    # out of the distributed probe entirely; the merge stays exact.
+    schema = T.StructType(
+        [T.StructField("fk", T.DoubleType()), T.StructField("v", T.LongType())]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "f"), schema, key_cols=["fk"], num_buckets=2
+    )
+    t.enable_blooms()
+    rows = [(float(i), i) for i in range(50)] + [(float("nan"), -1)]
+    t.append(spark.createDataFrame(rows, schema))
+    src = spark.createDataFrame([(float("nan"), 777)], schema)
+    res = M.merge_into(t, src, on=["fk"])
+    assert res.summary["files_skipped_by_bloom"] == 0  # float kind bails
+    assert res.summary["rows_updated"] == 1  # NaN matched, not duplicated
+    assert res.summary["rows_inserted"] == 0
+    assert t.read().count() == 51
+
+
+def test_corrupt_bloom_meta_degrades_to_no_pruning(spark, tmp_path):
+    # ADVICE r4: a meta where m exceeds 8·n made might_contain index past
+    # the buffer inside an executor, failing the merge job. Corrupt metas
+    # must now degrade to conservative no-pruning.
+    import json
+
+    t = _mk(spark, str(tmp_path / "k"), n=1000, buckets=2)
+    # hand-corrupt every bf meta in the newest log entry: double m
+    import os
+
+    log_rel = t._log_path(t.latest_version())
+    entry = json.loads(t.store.read_bytes(log_rel))
+    touched = 0
+    for add in entry.get("add", []):
+        for cm in (add.get("bf", {}).get("cols") or {}).values():
+            cm["m"] = cm["m"] * 2  # now m//8 != n
+            touched += 1
+    assert touched > 0
+    with open(os.path.join(t.root, log_rel), "w") as f:
+        json.dump(entry, f)
+    src = spark.createDataFrame([("r1", "p8", 999)], SCHEMA)
+    res = M.merge_into(t, src, on=["repo", "path"])  # must not crash
+    assert res.summary["files_skipped_by_bloom"] == 0
+    assert t.read().where("path='p8'").first()["v"] == 999

@@ -350,3 +350,63 @@ def test_left_join_view_both_sides_dirty(spark, tmp_path):
     merge_into(b, spark.createDataFrame([(400, 9, "nine")], B_SCHEMA), on=["cid"])  # matches the moved row
     view.refresh()
     assert _view_rows(view) == _recompute_left(a, b)
+
+
+def test_null_keyed_left_row_survives_clean_side_filter(spark, tmp_path):
+    """ADVICE r5: the single-column dirty predicate used a plain ``isin``,
+    whose NULL result (and NULL negation) silently dropped a null-keyed row
+    from BOTH the dirty and clean sets. A null-oid A row joining a b-dirty
+    group would lose its refreshed pair. Null-safe ``isNotNull & isin``
+    keeps it on the clean side, like the composite path's eqNullSafe."""
+    def _nkey(t):
+        return tuple((x is None, x) for x in t)
+
+    def _vrows(view):
+        return sorted(
+            (
+                (r["a_oid"], r["b_cid"], r["amt"], r["name"], r["cust"])
+                for r in view.read().collect()
+            ),
+            key=_nkey,
+        )
+
+    def _rec(a, b):
+        j = a.read().alias("a").join(
+            b.read().alias("b"),
+            on=[F.col("a.cust") == F.col("b.cust")],
+            how="inner",
+        )
+        return sorted(
+            (
+                (r["a_oid"], r["b_cid"], r["amt"], r["name"], r["cust"])
+                for r in j.select(
+                    F.col("a.oid").alias("a_oid"),
+                    F.col("b.cid").alias("b_cid"),
+                    F.col("a.amt").alias("amt"),
+                    F.col("b.name").alias("name"),
+                    F.col("a.cust").alias("cust"),
+                ).collect()
+            ),
+            key=_nkey,
+        )
+
+    a, b = _mk_sources(spark, tmp_path)
+    # a NULL-keyed left row in join group 1 (the engine convention forbids
+    # null keys, but the view must not corrupt state when one appears)
+    a.append(spark.createDataFrame([(None, 1, 12345)], A_SCHEMA))
+    view = _mk_view(spark, a, b, tmp_path)
+    view.refresh()
+    assert _vrows(view) == _rec(a, b)
+    # b-side-only episode dirties group 1: the null-oid row is CLEAN on the
+    # A side and must still contribute refreshed pairs with the dirty b rows
+    merge_into(
+        b, spark.createDataFrame([(101, 1, "renamed")], B_SCHEMA), on=["cid"]
+    )
+    r = view.refresh()
+    assert r["refreshed"]
+    assert _vrows(view) == _rec(a, b)
+    assert any(r_[0] is None and r_[3] == "renamed" for r_ in _vrows(view))
+    # A-side episode too (dirty oids exercise keep=True/False on _ka)
+    merge_into(a, spark.createDataFrame([(2, 1, 222)], A_SCHEMA), on=["oid"])
+    view.refresh()
+    assert _vrows(view) == _rec(a, b)

@@ -69,3 +69,38 @@ def test_expired_files_are_reclaimed(spark, tmp_path):
     assert res["data_files_removed"] > 0
     assert after < before
     assert t.read().count() == 3  # state intact
+
+
+def test_metadata_only_tail_raises_not_missing_files(spark, tmp_path, monkeypatch):
+    """ADVICE r5: after vacuum with a checkpoint gap, log entries survive
+    back to the newest checkpoint <= the horizon while those versions' DATA
+    files were reclaimed. version_as_of must raise the documented retention
+    ValueError, not let read() fail on missing files."""
+    import techtalk_data_pipeline_snowpark_spark.lake.table as table_mod
+
+    monkeypatch.setattr(table_mod, "CHECKPOINT_EVERY", 2)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["k"], num_buckets=2
+    )  # v1
+    marks = {}
+    for i in range(3):  # v2..v4
+        t.append(spark.createDataFrame([(f"k{i}", i)], SCHEMA))
+        marks[t.latest_version()] = time.time()
+        time.sleep(0.02)
+    t.compact()  # v5: rewrites every data file — v<=4 files become dead
+    marks[5] = time.time()
+    time.sleep(0.02)
+    t.append(spark.createDataFrame([("k9", 9)], SCHEMA))  # v6
+    marks[6] = time.time()
+    t.vacuum(retain_versions=1, staging_grace_sec=0)  # data back to v5 only
+    t.vacuum_metadata(retain_versions=1)  # metadata back to checkpoint v4
+    assert t.oldest_version() == 4  # the metadata-only tail exists
+    # v4 resolves in the log but its data is gone → documented ValueError
+    with pytest.raises(ValueError, match="retention"):
+        t.version_as_of(marks[4])
+    with pytest.raises(ValueError, match="retention"):
+        t.read(timestamp=marks[4])
+    # within the data horizon both paths still answer
+    assert t.version_as_of(marks[5]) == 5
+    assert t.read(timestamp=marks[5]).count() == 3
+    assert t.version_as_of(marks[6]) == 6
