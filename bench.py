@@ -257,7 +257,6 @@ def main():
     # r3-comparable headline number, but normalize by WARMED samples only.
     host_probe_cold_sec = host_probe()
     probes = [host_probe()]
-    host_probe_sec = host_probe_cold_sec
 
     import __spark_entry__ as entry_mod
 
@@ -311,6 +310,32 @@ def main():
         k: round(v / probe_mean, 4) for k, v in timings.items()
     }
     total = round(sum(timings.values()), 3)
+    # --- output contract (r4 verdict fix): the r4 driver recorded
+    # BENCH_r04.json `parsed: null` because the single JSON line outgrew the
+    # harness's stdout-tail capture. The HEADLINE line below stays compact
+    # (value, per-query raw + normalized, ev/s, probes — a few hundred bytes)
+    # and is printed LAST; everything bulky (bucket-stats blocks, the bloom
+    # write-amplification table, per-epoch detail) goes to a sidecar file
+    # whose path the headline carries.
+    sidecar = {
+        "cdc_final_rows": cdc["final_rows"],
+        "minhash_skewed_pairs": skew["minhash_skewed_pairs"],
+        "minhash_bucket_stats": skew["minhash_bucket_stats"],
+        "simhash_skewed_pairs": skew["simhash_skewed_pairs"],
+        "simhash_bucket_stats": skew["simhash_bucket_stats"],
+        "embedding_lsh_pairs": skew["embedding_lsh_pairs"],
+        "embedding_bucket_stats": skew["embedding_bucket_stats"],
+        "bloom_merge_amplification": bloom_amp,
+        "host_probe_cold_sec": host_probe_cold_sec,
+    }
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_extras.json"
+    )
+    try:
+        with open(sidecar_path, "w") as f:
+            json.dump(sidecar, f, indent=1)
+    except OSError:
+        sidecar_path = None  # read-only checkout: headline still complete
     out = {
         "metric": "end-to-end CDC replay→merge + analytics suite wall time",
         "value": total,
@@ -319,12 +344,8 @@ def main():
         "sf": sf_dir,
         "extras": {
             "cdc_events": n_events,
-            "cdc_epochs": cdc["epochs"],
             "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
-            "cdc_final_rows": cdc["final_rows"],
             "cpus": cpus,
-            "host_stringhash_probe_sec": host_probe_sec,
-            "host_probe_cold_sec": host_probe_cold_sec,
             "host_probe_secs": probes,
             "host_probe_mean_sec": probe_mean,
             "queries_normalized_to_probe": queries_normalized,
@@ -332,16 +353,11 @@ def main():
             "cdc_events_per_sec_normalized": round(
                 cdc["events_per_sec"] * probe_mean, 1
             ),
-            "minhash_skewed_pairs": skew["minhash_skewed_pairs"],
-            "minhash_bucket_stats": skew["minhash_bucket_stats"],
-            "simhash_skewed_pairs": skew["simhash_skewed_pairs"],
-            "simhash_bucket_stats": skew["simhash_bucket_stats"],
-            "embedding_lsh_pairs": skew["embedding_lsh_pairs"],
-            "embedding_bucket_stats": skew["embedding_bucket_stats"],
-            "bloom_merge_amplification": bloom_amp,
+            "sidecar": sidecar_path,
         },
     }
-    print(json.dumps(out))
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -78,6 +78,12 @@ class TableStore:
         data files survived vacuum before handing the version to a reader."""
         raise NotImplementedError
 
+    def size(self, rel: str) -> int:
+        """Object size in bytes (the HEAD Content-Length). Used to decide
+        whether a commit's stats/bloom pass is worth a distributed job
+        (lake/diststats.py) — missing objects report 0, never raise."""
+        raise NotImplementedError
+
     def list_dir(self, rel: str) -> list[str]:
         """Immediate child names under ``rel`` (one path segment, no
         separators) — missing prefix lists as empty, like an object store."""
@@ -153,6 +159,12 @@ class PosixStore(TableStore):
 
     def exists(self, rel: str) -> bool:
         return os.path.isfile(self._abs(rel))
+
+    def size(self, rel: str) -> int:
+        try:
+            return os.path.getsize(self._abs(rel))
+        except OSError:
+            return 0
 
     def list_dir(self, rel: str) -> list[str]:
         d = self._abs(rel)
@@ -254,6 +266,13 @@ class FakeObjectStore(TableStore):
     def exists(self, rel: str) -> bool:
         self.lists += 1  # HEAD Object counts as a (metadata) request
         return os.path.isfile(self._abs(rel))
+
+    def size(self, rel: str) -> int:
+        self.lists += 1  # HEAD Object
+        try:
+            return os.path.getsize(self._abs(rel))
+        except OSError:
+            return 0
 
     def list_dir(self, rel: str) -> list[str]:
         self.lists += 1

@@ -920,16 +920,25 @@ class LakeTable:
                     adds.append({"path": rel, "bucket": None})
             self.store.finalize(moves)
         self.store.delete_dir(staging_rel)
-        # zone maps: per-file min/max/null-count from the parquet footers the
-        # write just produced (no data pages read) — ride the add-entries so
-        # every snapshot can prune mutations/scans driver-side (lake/stats.py)
-        from .stats import enrich_adds_with_stats
+        # zone maps + blooms ride the add-entries so every snapshot can prune
+        # mutations/scans driver-side (lake/stats.py, lake/bloom.py). Big
+        # commits run ONE distributed pass (executor tasks read footers + key
+        # columns and write bloom sidecars through the store, returning only
+        # meta — lake/diststats.py); small commits keep the latency-optimal
+        # driver-threaded pool.
+        from .diststats import enrich_adds_distributed, should_distribute
 
-        enrich_adds_with_stats(self.root, adds, schema)
-        if bloom_cols:
-            from .bloom import enrich_adds_with_blooms
+        enriched = should_distribute(self, adds) and enrich_adds_distributed(
+            self, adds, schema, bloom_cols or []
+        )
+        if not enriched:
+            from .stats import enrich_adds_with_stats
 
-            enrich_adds_with_blooms(self, adds, schema, bloom_cols)
+            enrich_adds_with_stats(self.root, adds, schema)
+            if bloom_cols:
+                from .bloom import enrich_adds_with_blooms
+
+                enrich_adds_with_blooms(self, adds, schema, bloom_cols)
         return adds
 
     def _stage_dv(self, hits: DataFrame) -> tuple[list[str], dict[str, int]]:
