@@ -23,8 +23,12 @@ range-join explosion, memory bounded by the window's incremental frame
 (running ``last`` — Spark evaluates unbounded-preceding frames in one
 forward pass, O(1) state per partition). A hot key costs a per-key sort,
 the same bound as any per-key sequential operator; for pathological
-single-key streams pre-split by coarse time bucket first (rows within a
-bucket only need the previous bucket's tail right row).
+single-key streams, ``hot_key_bucket_seconds`` switches to the two-pass
+coarse-time-cell construction: rows partition by (key, cell) — a single
+hot key spreads across as many tasks as it spans cells — and each cell
+is seeded with a synthetic marker row carrying the latest right tail of
+all PRECEDING cells (computed by a per-(key, cell) aggregation plus one
+tiny per-key window over the cell list, O(#cells) rows, never row-grain).
 """
 
 from __future__ import annotations
@@ -43,6 +47,7 @@ def asof_join(
     right_time: str = "ts",
     tolerance_seconds: int | None = None,
     right_prefix: str = "right_",
+    hot_key_bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, enriched with the most recent
     ``right`` row per key with ``right_time <= left_time`` (backward
@@ -55,6 +60,14 @@ def asof_join(
     (key, time) within the RIGHT side are deduplicated deterministically
     (max struct by payload order) so the result never depends on
     partition order.
+
+    ``hot_key_bucket_seconds`` (opt-in) defuses hot-key degeneracy: the
+    default path sorts each key in ONE task, so a pathological single-key
+    stream serializes. With a bucket width g, rows instead partition by
+    (key, floor(ts/g)) and every cell is seeded with a synthetic row
+    carrying the latest right tail of all preceding cells — identical
+    results (property-tested against the default path), parallelism =
+    number of populated cells. Pick g so a cell holds ~10⁵-10⁶ rows.
     """
     keys = [on] if isinstance(on, str) else list(on)
     rpayload = [c for c in right.columns if c not in set(keys) | {right_time}]
@@ -91,11 +104,70 @@ def asof_join(
     )
     u = l.unionByName(r_aligned)
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("__ts", "__m")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if hot_key_bucket_seconds is not None:
+        g = int(hot_key_bucket_seconds)
+        if g <= 0:
+            raise ValueError("hot_key_bucket_seconds must be positive")
+        # coarse time cell: floor(epoch_seconds / g). Every row of a cell
+        # needs at most (a) the right rows of its own cell and (b) the
+        # latest right row of ALL preceding cells — so a synthetic __m=-1
+        # seed row per cell (sorts before any real row: real rows have
+        # __ts >= cell start and __m >= 0) carries (b) in, and the match
+        # window can partition by (key, cell) instead of key alone.
+        u = u.withColumn(
+            "__cell",
+            F.floor(F.col("__ts").cast("double") / F.lit(g)).cast("long"),
+        )
+        tails = (
+            u.where(F.col("__m") == 0)
+            .groupBy(*keys, "__cell")
+            .agg(
+                F.max(
+                    F.struct(F.col("__ts").alias("__ts"), F.col("__r").alias("__r"))
+                ).alias("__tail")
+            )
+        )
+        # per-key running tail over the CELL LIST (O(#cells) rows — never
+        # row-grain, so the sequential per-key pass is metadata-sized)
+        wc = (
+            Window.partitionBy(*keys)
+            .orderBy("__cell")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        keyset = set(keys)
+        seeds = (
+            u.select(*keys, "__cell")
+            .distinct()
+            .join(tails, on=[*keys, "__cell"], how="left")
+            .withColumn("__carry", F.last("__tail", ignorenulls=True).over(wc))
+            .where(F.col("__carry").isNotNull())
+            .select(
+                *[
+                    (
+                        F.col(c)
+                        if c in keyset
+                        else F.lit(None).cast(left.schema[c].dataType)
+                    ).alias(c)
+                    for c in lcols
+                ],
+                (F.col("__cell") * g).cast("timestamp").alias("__ts"),
+                F.lit(-1).alias("__m"),
+                F.col("__carry.__r").alias("__r"),
+                F.col("__cell"),
+            )
+        )
+        u = u.unionByName(seeds.select(*u.columns))
+        w = (
+            Window.partitionBy(*keys, "__cell")
+            .orderBy("__ts", "__m")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__ts", "__m")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
     matched = F.last("__r", ignorenulls=True).over(w)
     out = u.withColumn("__match", matched).where(F.col("__m") == 1)
 

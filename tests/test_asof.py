@@ -111,3 +111,97 @@ def test_single_shuffle_plan(quotes, trades):
     # one exchange for the window partition; the right-side dedup agg shares it
     assert plan.count("Exchange hashpartitioning(sym") <= 2
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------- hot-key pre-split
+def test_hot_key_split_matches_default_on_fixture(quotes, trades):
+    base = {
+        r.tid: (r.right_px, r.right_ts)
+        for r in asof_join(trades, quotes, on="sym").collect()
+    }
+    split = {
+        r.tid: (r.right_px, r.right_ts)
+        for r in asof_join(
+            trades, quotes, on="sym", hot_key_bucket_seconds=4
+        ).collect()
+    }
+    assert base == split
+
+
+def test_hot_key_split_carry_crosses_empty_cells(spark):
+    # right row only in cell 0; left rows many cells later must still match
+    quotes = spark.createDataFrame(
+        [("k", _ts(1), 7.0)], "sym string, ts timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        [("t1", "k", _ts(50), 1), ("t2", "k", _ts(59), 2)],
+        "tid string, sym string, ts timestamp, qty int",
+    )
+    out = {
+        r.tid: r.right_px
+        for r in asof_join(
+            trades, quotes, on="sym", hot_key_bucket_seconds=2
+        ).collect()
+    }
+    assert out == {"t1": 7.0, "t2": 7.0}
+
+
+def test_hot_key_split_tolerance(quotes, trades):
+    base = {
+        r.tid: r.right_px
+        for r in asof_join(trades, quotes, on="sym", tolerance_seconds=5).collect()
+    }
+    split = {
+        r.tid: r.right_px
+        for r in asof_join(
+            trades, quotes, on="sym", tolerance_seconds=5, hot_key_bucket_seconds=3
+        ).collect()
+    }
+    assert base == split
+
+
+def test_hot_key_split_plan_partitions_by_cell(quotes, trades):
+    plan = (
+        asof_join(trades, quotes, on="sym", hot_key_bucket_seconds=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the match window's exchange must partition by (key, cell) — that is
+    # the whole point: a single hot key spreads across its time cells
+    assert "hashpartitioning(sym" in plan and "__cell" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hot_key_split_parity_on_planted_single_key_megastream(spark):
+    """r4 verdict ask #4: >=10^6 rows on ONE key completes and matches the
+    default path exactly. The default path sorts the key in one task; the
+    split path partitions by (key, cell) — parity proves the seed-carry
+    construction, the cell count proves the parallelism exists."""
+    from pyspark.sql import functions as F
+
+    n_left, n_right = 1_000_000, 100_000
+    left = spark.range(n_left).select(
+        F.col("id").alias("lid"),
+        F.lit("hot").alias("sym"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 86_400).alias("ts"),
+    )
+    right = spark.range(n_right).select(
+        F.lit("hot").alias("sym"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") * 17) % 86_400
+        ).alias("ts"),
+        (F.col("id") * 3).alias("px"),
+    )
+    split = asof_join(left, right, on="sym", hot_key_bucket_seconds=3600)
+    base = asof_join(left, right, on="sym")
+    # cells actually spread the hot key: an 86,400 s span over 3,600 s
+    # cells crosses 24-25 boundaries (start offset not cell-aligned)
+    assert (
+        split.select(F.countDistinct(F.floor(F.col("ts").cast("double") / 3600)))
+        .collect()[0][0]
+        >= 24
+    )
+    assert split.count() == n_left
+    assert base.exceptAll(split).count() == 0
+    assert split.exceptAll(base).count() == 0
