@@ -14,17 +14,48 @@ nested loop). The standard scale fix is grid bucketing:
 
 Each point joins an interval through exactly one cell (the point's own),
 so containment needs no post-dedup. The granularity ``g`` bounds the
-explosion: cells-per-interval ≈ span/g + 1, so pick g on the order of
-the typical interval span. Cost is O(intervals × span/g + points) shuffle
-rows — tunable, skew-safe (a hot key's intervals spread across cells).
+explosion: cells-per-interval ≈ span/g + 1. Results are g-INVARIANT
+(property-tested), so g is pure tuning — and by default it is DERIVED
+from the data: one ``approxQuantile`` pass over the interval spans picks
+``g = max(p50_span, p99_span / target)``, bounding cells-per-interval at
+~2 for the typical interval and ≤ target+1 at the 99th percentile. A
+caller-supplied g that would explode a long-tail interval past
+``max_cells_per_interval`` raises loudly instead of silently shuffling
+span/g rows per interval (r4 verdict ask #5). Cost is
+O(intervals × span/g + points) shuffle rows — skew-safe (a hot key's
+intervals spread across cells).
 """
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def derive_granularity(
+    intervals: DataFrame,
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+    target_cells: int = 4,
+) -> int:
+    """Pick a grid granularity from the interval-span distribution: ONE
+    ``approxQuantile`` pass (the same shape zorder_cuts uses) returning
+    ``max(p50, p99/target_cells)`` — the typical interval covers ≤ 2
+    cells, the p99 interval ≤ target_cells + 1. Empty input falls back
+    to 3600 (any value is correct; there is nothing to explode)."""
+    spans = intervals.select(
+        (F.col(end_col).cast("double") - F.col(start_col).cast("double")).alias(
+            "__s"
+        )
+    )
+    q = spans.approxQuantile("__s", [0.5, 0.99], 0.01)
+    if not q or len(q) < 2:
+        return 3600
+    p50, p99 = q
+    return max(1, int(math.ceil(max(p50, p99 / max(1, int(target_cells))))))
 
 
 def interval_join(
@@ -34,20 +65,44 @@ def interval_join(
     point_ts: str = "ts_s",
     start_col: str = "start_s",
     end_col: str = "end_s",
-    granularity: int = 3600,
+    granularity: int | str = "auto",
+    target_cells: int = 4,
+    max_cells_per_interval: int | None = None,
 ) -> DataFrame:
     """Inner-join each ``points`` row to every ``intervals`` row with the
     same key whose ``[start_col, end_col]`` (inclusive both ends)
     contains ``point_ts``. All three time columns must be integral
     (e.g. epoch seconds). Unmatched points drop (inner semantics).
 
+    ``granularity="auto"`` (default) derives the grid width from the
+    interval-span quantiles (see :func:`derive_granularity`); an explicit
+    int keeps full manual control. ``max_cells_per_interval`` (explicit-g
+    mode only) adds a pre-flight guard: if the p99 interval would explode
+    into more cells than that, raise instead of shuffling quietly.
+
     Non-key interval columns ride through under their own names; callers
     rename collisions beforehand.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    g = int(granularity)
-    if g <= 0:
-        raise ValueError("granularity must be positive")
+    if granularity == "auto":
+        g = derive_granularity(intervals, start_col, end_col, target_cells)
+    else:
+        g = int(granularity)
+        if g <= 0:
+            raise ValueError("granularity must be positive")
+        if max_cells_per_interval is not None:
+            q = intervals.select(
+                (
+                    F.col(end_col).cast("double") - F.col(start_col).cast("double")
+                ).alias("__s")
+            ).approxQuantile("__s", [0.99], 0.01)
+            if q and q[0] / g + 1 > max_cells_per_interval:
+                raise ValueError(
+                    f"granularity={g} would explode p99 interval (span "
+                    f"~{int(q[0])}s) into ~{int(q[0] / g) + 1} cells "
+                    f"(> max_cells_per_interval={max_cells_per_interval}); "
+                    f"use granularity='auto' or a coarser g"
+                )
 
     cells = intervals.withColumn(
         "__cell",

@@ -103,3 +103,77 @@ def test_no_nested_loop_plan(shifts, pings):
 def test_bad_granularity(shifts, pings):
     with pytest.raises(ValueError):
         interval_join(pings, shifts, on="k", granularity=0)
+
+
+# ------------------------------------------------------- auto-granularity
+def test_auto_granularity_matches_explicit(shifts, pings):
+    base = {
+        (r.pid, r.shift_id)
+        for r in interval_join(pings, shifts, on="k", granularity=50).collect()
+    }
+    auto = {
+        (r.pid, r.shift_id)
+        for r in interval_join(pings, shifts, on="k").collect()  # default auto
+    }
+    assert base == auto and len(auto) > 0
+
+
+def test_auto_granularity_bounds_explosion(spark):
+    """r4 verdict ask #5: a corpus where a naive g (=typical span) would
+    explode the long-tail intervals 1000x. Auto-g must bound
+    cells-per-interval at ~target_cells while a naive g=100 would cut the
+    p99 interval into 1,001 cells."""
+    from techtalk_data_pipeline_snowpark_spark.operators.interval import (
+        derive_granularity,
+    )
+
+    rows = [("k", i, i * 1000, i * 1000 + 100) for i in range(99)]
+    rows += [("k", 1000, 0, 100_000)]  # one 1000x-span straggler
+    iv = spark.createDataFrame(rows, "k string, iid int, start_s long, end_s long")
+    g = derive_granularity(iv, "start_s", "end_s", target_cells=4)
+    # p99 span ~100k -> g >= 25_000: straggler covers <= 5 cells
+    assert g >= 20_000
+    worst = (
+        iv.select(
+            (F.floor(F.col("end_s") / g) - F.floor(F.col("start_s") / g) + 1).alias(
+                "cells"
+            )
+        )
+        .agg(F.max("cells"))
+        .collect()[0][0]
+    )
+    assert worst <= 5  # naive g=100 would be 1_001 cells for the straggler
+    # and the join is still exact
+    pt = spark.createDataFrame(
+        [("p1", "k", 50), ("p2", "k", 99_999), ("p3", "k", 5_050)],
+        "pid string, k string, ts_s long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(pt, iv, on="k").collect()
+    }
+    assert got == {("p1", 0), ("p1", 1000), ("p2", 1000), ("p3", 5), ("p3", 1000)}
+
+
+def test_explosion_guard_raises_loudly(spark):
+    iv = spark.createDataFrame(
+        [("k", 1, 0, 1_000_000)], "k string, iid int, start_s long, end_s long"
+    )
+    pt = spark.createDataFrame([("p", "k", 5)], "pid string, k string, ts_s long")
+    with pytest.raises(ValueError, match="explode"):
+        interval_join(
+            pt, iv, on="k", granularity=100, max_cells_per_interval=64
+        )
+    # same guard passes for a sane g
+    assert (
+        interval_join(
+            pt, iv, on="k", granularity=500_000, max_cells_per_interval=64
+        ).count()
+        == 1
+    )
+
+
+def test_auto_granularity_empty_intervals(spark):
+    iv = spark.createDataFrame([], "k string, iid int, start_s long, end_s long")
+    pt = spark.createDataFrame([("p", "k", 5)], "pid string, k string, ts_s long")
+    assert interval_join(pt, iv, on="k").count() == 0
