@@ -1,5 +1,5 @@
 from .changefeed import ChangeBatch, ChangelogCursor, CursorConflict
-from .ivm import IncrementalAggView
+from .ivm import IncrementalAggView, IncrementalDistinctView, IncrementalHllView
 from .ivm_join import IncrementalJoinView
 from .merge import delete, equality_delete_keys, merge_into, mor_delete_keys, update
 from .store import FakeObjectStore, PosixStore, TableStore
@@ -11,6 +11,8 @@ __all__ = [
     "ChangelogCursor",
     "CursorConflict",
     "IncrementalAggView",
+    "IncrementalDistinctView",
+    "IncrementalHllView",
     "IncrementalJoinView",
     "TableStore",
     "PosixStore",

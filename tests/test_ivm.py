@@ -391,3 +391,142 @@ def test_ivm_over_wap_publish_commits(spark, tmp_table_root):
     assert view.refresh()["refreshed"] is True
     assert _view_state(view) == _recompute(t)
     assert not any(r.repo == "poison" for r in view.read().collect())
+
+
+# ------------------------------------------------------- COUNT(DISTINCT)
+def _distinct_recompute(t, group="repo", val="size"):
+    return {
+        (r[group], r.cnt_distinct)
+        for r in t.read()
+        .where(F.col(val).isNotNull())
+        .groupBy(group)
+        .agg(F.countDistinct(val).cast("long").alias("cnt_distinct"))
+        .collect()
+    }
+
+
+def test_count_distinct_tracks_recompute_through_episodes(spark, tmp_table_root):
+    """The aux-key-table construction: a delete of a NON-last occurrence
+    must not move the count; deleting the LAST occurrence must; updates
+    move a value between distinct buckets."""
+    from techtalk_data_pipeline_snowpark_spark.lake import IncrementalDistinctView
+
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    view = IncrementalDistinctView(
+        spark, t, tmp_table_root + "/view", group_cols=["repo"], distinct_col="size"
+    )
+    # a: sizes 10,10,20 -> 2 distinct; b: 7 -> 1
+    t.append(_df(spark, [("a", "1", 10), ("a", "2", 10), ("a", "3", 20), ("b", "4", 7)]))
+    view.refresh()
+    assert {(r.repo, r.cnt_distinct) for r in view.read().collect()} == {
+        ("a", 2), ("b", 1)
+    } == _distinct_recompute(t)
+
+    # delete ONE of the two size-10 rows: count must stay 2
+    delete(t, (F.col("repo") == "a") & (F.col("path") == "1"))
+    view.refresh()
+    assert {(r.repo, r.cnt_distinct) for r in view.read().collect()} == {
+        ("a", 2), ("b", 1)
+    } == _distinct_recompute(t)
+
+    # delete the LAST size-10 row: count drops to 1
+    delete(t, (F.col("repo") == "a") & (F.col("path") == "2"))
+    view.refresh()
+    assert {(r.repo, r.cnt_distinct) for r in view.read().collect()} == {
+        ("a", 1), ("b", 1)
+    } == _distinct_recompute(t)
+
+    # update moves b's only value 7 -> 20: still 1 distinct, new bucket
+    update(t, {"size": F.lit(20)}, F.col("repo") == "b")
+    view.refresh()
+    assert {(r.repo, r.cnt_distinct) for r in view.read().collect()} == {
+        ("a", 1), ("b", 1)
+    } == _distinct_recompute(t)
+
+    # merge-in new values across groups
+    merge_into(
+        t,
+        _df(spark, [("a", "9", 99), ("b", "4", 7), ("c", "x", 1)]),
+        on=["repo", "path"],
+    )
+    view.refresh()
+    assert {(r.repo, r.cnt_distinct) for r in view.read().collect()} == {
+        ("a", 2), ("b", 1), ("c", 1)
+    } == _distinct_recompute(t)
+
+
+def test_count_distinct_ignores_null_values(spark, tmp_table_root):
+    from techtalk_data_pipeline_snowpark_spark.lake import IncrementalDistinctView
+
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    view = IncrementalDistinctView(
+        spark, t, tmp_table_root + "/view", group_cols=["repo"], distinct_col="size"
+    )
+    t.append(
+        spark.createDataFrame(
+            [Row(repo="a", path="1", size=None), Row(repo="a", path="2", size=5),
+             Row(repo="n", path="3", size=None)],
+            SCHEMA,
+        )
+    )
+    view.refresh()
+    # all-null group 'n' is absent (documented divergence from SQL's 0)
+    assert {(r.repo, r.cnt_distinct) for r in view.read().collect()} == {("a", 1)}
+
+
+def test_count_distinct_refresh_idempotent(spark, tmp_table_root):
+    from techtalk_data_pipeline_snowpark_spark.lake import IncrementalDistinctView
+
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    view = IncrementalDistinctView(
+        spark, t, tmp_table_root + "/view", group_cols=["repo"], distinct_col="size"
+    )
+    t.append(_df(spark, [("a", "1", 10), ("a", "2", 20)]))
+    assert view.refresh()["refreshed"] is True
+    assert view.refresh()["refreshed"] is False  # caught up -> no-op
+    assert {(r.repo, r.cnt_distinct) for r in view.read().collect()} == {("a", 2)}
+
+
+# ------------------------------------------------- HLL sketch (append-only)
+def test_hll_view_tracks_exact_on_append_only(spark, tmp_table_root):
+    from techtalk_data_pipeline_snowpark_spark.lake import IncrementalHllView
+
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    view = IncrementalHllView(
+        spark, t, tmp_table_root + "/view", group_cols=["repo"], distinct_col="size"
+    )
+    t.append(_df(spark, [("a", "1", 10), ("a", "2", 10), ("a", "3", 20), ("b", "4", 7)]))
+    view.refresh()
+    t.append(_df(spark, [("a", "5", 30), ("b", "6", 7), ("c", "7", 1)]))
+    view.refresh()
+    # datasketches HLL is exact at these cardinalities (sparse mode)
+    got = {(r.repo, r.cnt, r.cnt_distinct_approx) for r in view.read().collect()}
+    assert got == {("a", 4, 3), ("b", 2, 1), ("c", 1, 1)}
+
+
+def test_hll_view_refuses_deletes(spark, tmp_table_root):
+    from techtalk_data_pipeline_snowpark_spark.lake import IncrementalHllView
+
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    view = IncrementalHllView(
+        spark, t, tmp_table_root + "/view", group_cols=["repo"], distinct_col="size"
+    )
+    t.append(_df(spark, [("a", "1", 10), ("a", "2", 20)]))
+    view.refresh()
+    delete(t, F.col("path") == "1")
+    with pytest.raises(ValueError, match="not invertible"):
+        view.refresh()
+    # state unchanged — the refusal happened before any merge
+    assert {(r.repo, r.cnt_distinct_approx) for r in view.read().collect()} == {
+        ("a", 2)
+    }
