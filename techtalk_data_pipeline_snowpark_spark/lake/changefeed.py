@@ -45,11 +45,28 @@ import json
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 from .table import LakeTable
 
 CURSORS_DIR = "_cursors"
+
+
+def net_changes(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Collapse a (possibly multi-commit) change slice to ONE net row per
+    key: the key's latest change in the range wins (preimages excluded —
+    they carry subtraction info for aggregating consumers, not state).
+    A key inserted then deleted nets to its delete row; updated twice nets
+    to the last postimage. The result is key-unique by construction, which
+    is exactly the precondition :func:`merge_into` demands of its source."""
+    ch = df.where(F.col("_change_type") != "update_preimage")
+    w = Window.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
+    return (
+        ch.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 class CursorConflict(RuntimeError):
@@ -154,6 +171,89 @@ class ChangelogCursor:
                 )
                 if int(entry["to"]) < to:
                     self.table.store.delete(f"{self._dir}/{fn}")
+
+    # ----------------------------------------------------------- consume
+    def run(
+        self,
+        sink: Callable[[DataFrame, int, int], None],
+        max_versions: int | None = None,
+        max_batches: int | None = None,
+        emit_preimages: bool = False,
+    ) -> dict:
+        """``foreachBatch``-style consumption loop (r4 verdict ask #7):
+        poll → ``sink(df, from_version, to_version)`` → ack, repeated in
+        bounded batches (``max_versions`` commits each) until caught up
+        (or ``max_batches``). The sink runs BEFORE the ack, so delivery is
+        at-least-once across crashes: a consumer killed after the sink but
+        before the ack re-receives the same range on restart, and an
+        idempotent sink (a keyed MERGE — see :meth:`replicate_to`) makes
+        the end-to-end loop exactly-once. A :class:`CursorConflict`
+        (competing consumer advanced first) re-polls from the new
+        frontier instead of failing — the rival covered the range.
+
+        Returns {"batches", "conflicts", "position"}.
+        """
+        batches = conflicts = 0
+        while max_batches is None or batches < max_batches:
+            b = self.poll(
+                max_versions=max_versions, emit_preimages=emit_preimages
+            )
+            if b is None:
+                break
+            sink(b.df, b.from_version, b.to_version)
+            try:
+                b.ack()
+            except CursorConflict:
+                conflicts += 1
+                continue
+            batches += 1
+        return {
+            "batches": batches,
+            "conflicts": conflicts,
+            "position": self.position(),
+        }
+
+    def replicate_to(
+        self,
+        replica: LakeTable,
+        max_versions: int | None = None,
+        max_batches: int | None = None,
+    ) -> dict:
+        """Maintain an exact replica LakeTable from the change feed in one
+        call: each polled slice collapses to :func:`net_changes` per key
+        and applies as ONE idempotent keyed MERGE (upsert postimages,
+        delete deletes — the same arbitration the ingest engine uses,
+        cdc/engine.py merge). Redelivery after a crash re-applies the same
+        net changes onto the same keys — a no-op — so the at-least-once
+        loop is exactly-once end-to-end; this is the pattern the module
+        docstring argues, packaged (Snowflake stream → MERGE consumption,
+        SnowflakeUtils.scala:46-66, without the server doing it for you).
+
+        ``replica`` must share the source table's key columns.
+        """
+        keys = list(replica.snapshot().key_cols)
+        src_keys = list(self.table.snapshot().key_cols)
+        if [k.lower() for k in keys] != [k.lower() for k in src_keys]:
+            raise ValueError(
+                f"replica keys {keys} != source keys {src_keys}: net-change "
+                f"collapse and the MERGE must share one key set"
+            )
+
+        from .merge import merge_into
+
+        def sink(df: DataFrame, frm: int, to: int) -> None:
+            merge_into(
+                replica,
+                net_changes(df, keys),
+                on=keys,
+                when_matched_update="all",
+                when_matched_delete=F.col("s._change_type") == "delete",
+                when_not_matched_insert=True,
+            )
+
+        return self.run(
+            sink, max_versions=max_versions, max_batches=max_batches
+        )
 
     # --------------------------------------------------------------- reset
     def drop(self) -> None:

@@ -211,3 +211,123 @@ def test_cursor_on_object_store_semantics(spark, tmp_table_root):
     assert _keys(nxt.df) == {("b", "2", 20, "insert")}
     nxt.ack()
     assert c1.poll() is None
+
+
+# -------------------------------------------------- run() / replicate_to()
+def _mutate_source(spark, t):
+    """Three commits: append, update, delete — every CDF row type."""
+    from techtalk_data_pipeline_snowpark_spark.lake import delete, update
+
+    t.append(_df(spark, [("a", "1", 10), ("a", "2", 20), ("b", "3", 30)]))
+    update(t, {"size": F.col("size") + 1}, F.col("repo") == "a")
+    delete(t, F.col("path") == "3")
+
+
+def test_run_drives_bounded_batches_to_catchup(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root + "/src")
+    _mutate_source(spark, t)
+    cur = ChangelogCursor(t, "runner")
+    seen = []
+    res = cur.run(
+        lambda df, frm, to: seen.append((frm, to, df.count())),
+        max_versions=1,
+    )
+    # one slice per commit (incl. the empty create commit), in order
+    assert res["batches"] == t.latest_version() and res["conflicts"] == 0
+    assert [s[:2] for s in seen] == [(v, v + 1) for v in range(t.latest_version())]
+    assert res["position"] == t.latest_version()
+    assert cur.poll() is None
+
+
+def test_replicate_to_exact_parity(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root + "/src")
+    _mutate_source(spark, t)
+    rep = _mk(spark, tmp_table_root + "/rep")
+    cur = ChangelogCursor(t, "replica")
+    res = cur.replicate_to(rep, max_versions=1)
+    assert res["batches"] == t.latest_version()
+    assert t.read().exceptAll(rep.read()).count() == 0
+    assert rep.read().exceptAll(t.read()).count() == 0
+    # further source mutations flow through a later catch-up (multi-commit
+    # slice exercises the net-change collapse: update then delete same key)
+    from techtalk_data_pipeline_snowpark_spark.lake import delete, update
+
+    update(t, {"size": F.lit(99)}, F.col("path") == "1")
+    delete(t, F.col("path") == "1")
+    t.append(_df(spark, [("c", "4", 40)]))
+    cur.replicate_to(rep)  # one slice spanning all three commits
+    assert t.read().exceptAll(rep.read()).count() == 0
+    assert rep.read().exceptAll(t.read()).count() == 0
+
+
+def test_replicate_killed_consumer_resumes_to_parity(spark, tmp_table_root):
+    """r4 verdict ask #7's crash test: the consumer dies AFTER the sink
+    merge but BEFORE the ack — the range redelivers on restart and the
+    idempotent MERGE absorbs the duplicate, converging to exact parity."""
+    t = _mk(spark, tmp_table_root + "/src")
+    _mutate_source(spark, t)
+    rep = _mk(spark, tmp_table_root + "/rep")
+    cur = ChangelogCursor(t, "crashy")
+
+    class Killed(RuntimeError):
+        pass
+
+    applied = []
+
+    def dying_sink(df, frm, to):
+        from techtalk_data_pipeline_snowpark_spark.lake.changefeed import net_changes
+        from techtalk_data_pipeline_snowpark_spark.lake import merge_into as mi
+
+        mi(
+            rep,
+            net_changes(df, ["repo", "path"]),
+            on=["repo", "path"],
+            when_matched_update="all",
+            when_matched_delete=F.col("s._change_type") == "delete",
+            when_not_matched_insert=True,
+        )
+        applied.append((frm, to))
+        if len(applied) == 2:
+            raise Killed()  # crash mid-run: batch 2 sunk but NOT acked
+
+    with pytest.raises(Killed):
+        cur.run(dying_sink, max_versions=1)
+    pos_after_crash = cur.position()
+    # a fresh consumer process resumes from the durable cursor...
+    cur2 = ChangelogCursor(t, "crashy")
+    assert cur2.position() == pos_after_crash
+    res = cur2.replicate_to(rep, max_versions=1)
+    # ...re-receives the unacked batch (redelivery) plus the rest
+    assert res["batches"] == t.latest_version() - pos_after_crash
+    assert t.read().exceptAll(rep.read()).count() == 0
+    assert rep.read().exceptAll(t.read()).count() == 0
+
+
+def test_replicate_rejects_mismatched_keys(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root + "/src")
+    t.append(_df(spark, [("a", "1", 10)]))
+    rep = LakeTable.create(
+        spark, tmp_table_root + "/rep", SCHEMA, key_cols=["repo"], num_buckets=2
+    )
+    with pytest.raises(ValueError, match="key"):
+        ChangelogCursor(t, "bad").replicate_to(rep)
+
+
+def test_run_conflict_repolls_from_new_frontier(spark, tmp_table_root):
+    """A rival consumer acks the same range mid-batch: run() must count
+    the conflict and continue from the rival's frontier, not fail."""
+    t = _mk(spark, tmp_table_root + "/src")
+    _mutate_source(spark, t)
+    cur = ChangelogCursor(t, "shared")
+    rival = ChangelogCursor(t, "shared")
+    fired = []
+
+    def sink(df, frm, to):
+        df.count()
+        if not fired:
+            fired.append(1)
+            rival.poll(max_versions=1).ack()  # rival wins the first range
+
+    res = cur.run(sink, max_versions=1)
+    assert res["conflicts"] == 1
+    assert res["position"] == t.latest_version()
