@@ -1412,6 +1412,91 @@ _STREAM_SCHEMA = T.StructType(
 )
 
 
+def replicate_orders_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once replica maintenance through the oracle gate
+    (r4 verdict ask #7): a replica LakeTable is maintained PURELY from the
+    source's change feed — ``ChangelogCursor.replicate_to`` drives bounded
+    poll → net-change collapse → idempotent keyed MERGE → ack batches —
+    across an initial append, a price UPDATE, a DELETE, and a second
+    append, with a SIMULATED CRASH in the middle: one batch's merge is
+    applied without its ack, so the restart re-receives it (at-least-once)
+    and the idempotent MERGE must absorb the duplicate. The entry returns
+    the REPLICA's rows; the oracle recomputes the source's final state in
+    SQL — replica drift of any kind (lost update, doubled apply, ghost
+    delete) fails the hash."""
+    from techtalk_data_pipeline_snowpark_spark.lake import ChangelogCursor
+    from techtalk_data_pipeline_snowpark_spark.lake.changefeed import net_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    base = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 20000)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="replicate_")
+    t = LakeTable.create(
+        spark, os.path.join(root, "t"), schema, key_cols=["o_orderkey"], num_buckets=8
+    )
+    rep = LakeTable.create(
+        spark, os.path.join(root, "rep"), schema, key_cols=["o_orderkey"], num_buckets=8
+    )
+    t.append(base)
+    lake_update(t, {"price": F.col("price") * 2}, F.col("o_orderkey") % 10 == 3)
+    cur = ChangelogCursor(t, "replica")
+    # consume the first commits... then "crash": apply one slice's merge
+    # WITHOUT acking it (the process dies between sink and ack)
+    cur.replicate_to(rep, max_versions=1, max_batches=2)
+    dangling = cur.poll(max_versions=1)
+    merge_into(
+        rep,
+        net_changes(dangling.df, ["o_orderkey"]),
+        on=["o_orderkey"],
+        when_matched_update="all",
+        when_matched_delete=F.col("s._change_type") == "delete",
+        when_not_matched_insert=True,
+    )
+    # no ack — a fresh consumer must redeliver this exact range
+    lake_delete(t, F.col("o_orderkey") % 10 == 7)
+    t.append(
+        base.where(F.col("o_orderkey") % 10 == 1).select(
+            (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+            "o_custkey",
+            (F.col("price") + 1).alias("price"),
+        )
+    )
+    res = ChangelogCursor(t, "replica").replicate_to(rep)
+    assert res["position"] == t.latest_version()
+    return rep.read().select("o_orderkey", "o_custkey", "price")
+
+
+_REPLICATE_ORACLE = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey < 20000
+),
+mutated AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 3 THEN price * 2 ELSE price END AS price
+  FROM base WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, price + 1
+  FROM base WHERE o_orderkey % 10 = 1
+)
+SELECT o_orderkey, o_custkey, price FROM mutated
+"""
+
+
 def stream_ingest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 stream-on-stage through the oracle gate
     (IngestPaymentsStreamFromStage.scala:32-71): land two JSON-array
@@ -2010,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_orders_roundtrip": ingest_orders_roundtrip,
         "read_changelog_orders": read_changelog_orders,
         "changefeed_cursor_orders": changefeed_cursor_orders,
+        "replicate_orders_changefeed": replicate_orders_changefeed,
         "stream_ingest_orders": stream_ingest_orders,
         "cloud_event_ingest_orders": cloud_event_ingest_orders,
         "employee_industry_join": employee_industry_join,
@@ -2062,6 +2148,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_orders_roundtrip": _INGEST_ORACLE,
         "read_changelog_orders": _CHANGELOG_ORACLE,
         "changefeed_cursor_orders": _CHANGEFEED_CURSOR_ORACLE,
+        "replicate_orders_changefeed": _REPLICATE_ORACLE,
         "stream_ingest_orders": _STREAM_INGEST_ORACLE,
         "cloud_event_ingest_orders": _CLOUD_INGEST_ORACLE,
         "employee_industry_join": _EMPLOYEE_INDUSTRY_ORACLE,
