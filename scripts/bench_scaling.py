@@ -43,6 +43,17 @@ def spark_submit_bin() -> str:
     )
 
 
+def extra_confs() -> list[str]:
+    """Optional per-run Spark conf overrides from SCALING_EXTRA_CONFS
+    (semicolon-separated k=v). Used for conf A/B experiments (e.g. shuffle
+    codec) without editing the protocol script between legs."""
+    raw = os.environ.get("SCALING_EXTRA_CONFS", "").strip()
+    out: list[str] = []
+    for kv in filter(None, (s.strip() for s in raw.split(";"))):
+        out += ["--conf", kv]
+    return out
+
+
 def run_replay(
     n_exec: int, events: str, table: str, epochs: int, zip_path: str, cores: int = 1
 ) -> dict:
@@ -55,6 +66,7 @@ def run_replay(
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.ui.enabled=false",
         "--conf", f"spark.local.dir={SHM_LOCAL}",
+        *extra_confs(),
         "--py-files", zip_path,
         os.path.join(ROOT, "spark_submit_main.py"),
         "--events", events, "--table", table,
