@@ -401,12 +401,18 @@ def _simhash_groups(sim: DataFrame, id_col: str):
     return s, groups
 
 
-def _simhash_blocks(groups: DataFrame, blocks: int) -> DataFrame:
-    """Explode distinct-simhash representatives into (rep id, block, bits)."""
+def _simhash_blocks(
+    groups: DataFrame, blocks: int, keep_sim: bool = False
+) -> DataFrame:
+    """Explode distinct-simhash representatives into (rep id, block, bits).
+    ``keep_sim`` carries the full 64-bit value through (the over-cap
+    refinement re-keys on the REMAINING bits, so it needs the whole hash)."""
     width = 64 // blocks
     mask = (1 << width) - 1
+    extra = ["simhash"] if keep_sim else []
     return groups.select(
         F.col("_rid").alias("_id"),
+        *extra,
         F.explode(
             F.array(
                 *[
@@ -420,7 +426,69 @@ def _simhash_blocks(groups: DataFrame, blocks: int) -> DataFrame:
                 ]
             )
         ).alias("p"),
-    ).select("_id", "p.blk", "p.bits")
+    ).select("_id", *extra, "p.blk", "p.bits")
+
+
+def _simhash_remainder(blocks: int) -> Column:
+    """The 64-``width`` bits of ``simhash`` OUTSIDE block ``blk``, packed
+    into the low bits (a CASE over the block index — the slice boundaries
+    are per-block constants). Non-negative: fits well below 2^63."""
+    width = 64 // blocks
+    rem = None
+    for b in range(blocks):
+        if b == blocks - 1:
+            # Java shift semantics: >>> 64 is a no-op, so the top block's
+            # remainder is just the low bits (no high part exists)
+            expr = F.col("simhash").bitwiseAND(F.lit((1 << (b * width)) - 1))
+        else:
+            high = F.shiftleft(
+                F.shiftrightunsigned(F.col("simhash"), (b + 1) * width),
+                b * width,
+            )
+            expr = high.bitwiseOR(
+                F.col("simhash").bitwiseAND(F.lit((1 << (b * width)) - 1))
+            )
+        cond = F.col("blk") == b
+        rem = F.when(cond, expr) if rem is None else rem.when(cond, expr)
+    return rem
+
+
+def _simhash_refine(over: DataFrame, blocks: int) -> DataFrame:
+    """Second-level blocking for over-cap buckets: re-key each member by
+    ``blocks`` sub-slices of the 64-width REMAINING bits. Pigeonhole at
+    the second level: two members of the same (blk, bits) bucket within
+    Hamming distance ≤ blocks-1 differ in ≤ blocks-1 of the remaining
+    bits, so with ``blocks`` sub-slices at least one sub-slice is equal —
+    the Hamming-≤k guarantee survives the cap instead of degrading to a
+    sample. Output: (_id, blk, bits, sblk, sbits)."""
+    width = 64 // blocks
+    rem_width = 64 - width
+    sw = -(-rem_width // blocks)  # ceil: sub-slices tile the remainder
+    rem = _simhash_remainder(blocks)
+    smask = (1 << sw) - 1
+    return over.select(
+        "_id",
+        "blk",
+        "bits",
+        rem.alias("_rem"),
+    ).select(
+        "_id",
+        "blk",
+        "bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sblk"),
+                        F.shiftrightunsigned(F.col("_rem"), j * sw)
+                        .bitwiseAND(F.lit(smask))
+                        .alias("sbits"),
+                    )
+                    for j in range(blocks)
+                ]
+            )
+        ).alias("q"),
+    ).select("_id", "blk", "bits", "q.sblk", "q.sbits")
 
 
 def simhash_candidates(
@@ -434,14 +502,18 @@ def simhash_candidates(
     simhash values are collapsed to one representative before the block
     self-join (star pairs rep→member preserve connectivity — a 2,000-copy
     cluster costs O(m) pairs, not O(m²)). Distinct-value block buckets
-    larger than ``max_bucket_size`` are SAMPLED down to the cap
-    (deterministic — rank by a hash of the member id) instead of dropped
-    outright: the per-bucket join cost stays O(cap²), a near-miss pair
-    whose every shared block is over cap can still surface through the
-    sampled members, and a pair with ANY under-cap shared block is always
-    found via that block (pigeonhole rescue). Residual in-bucket loss is
+    larger than ``max_bucket_size`` are REFINED, not sampled: members are
+    re-keyed by ``blocks`` sub-slices of the REMAINING 64-width bits
+    (``_simhash_refine``), which preserves the Hamming-≤(blocks-1)
+    guarantee at the second level by the same pigeonhole (≤ blocks-1
+    differing bits across ``blocks`` sub-slices ⇒ one sub-slice equal) —
+    an adversarial bucket of members sharing one block but random
+    elsewhere shatters into ~size/2^12 sub-buckets. Only refined
+    sub-buckets STILL over cap fall back to the deterministic cap-size
+    sample (rank by a hash of the member id); that residual loss is
     quantified, never silent: ``simhash_bucket_stats`` reports
-    ``candidate_pairs_dropped`` and ``est_in_bucket_pair_recall``."""
+    ``candidate_pairs_dropped`` (at the refined level) and
+    ``est_in_bucket_pair_recall``."""
     from pyspark.sql import Window
 
     s, groups = _simhash_groups(sim, id_col)
@@ -451,32 +523,56 @@ def simhash_candidates(
             .where((F.col("_m") > 1) & (F.col("_id") != F.col("_rid")))
             .select(F.col("_rid").alias("a"), F.col("_id").alias("b"))
         )
-        parts = _simhash_blocks(groups, blocks)
+        parts = _simhash_blocks(groups, blocks, keep_sim=True)
         sizes = parts.groupBy("blk", "bits").agg(F.count(F.lit(1)).alias("_n"))
-        under = parts.join(
-            sizes.where(F.col("_n") <= max_bucket_size), on=["blk", "bits"], how="inner"
+        # under-cap buckets join directly; sblk=-1 keeps their key space
+        # disjoint from refined sub-buckets (sblk ∈ 0..blocks-1)
+        under = (
+            parts.join(
+                sizes.where(F.col("_n") <= max_bucket_size),
+                on=["blk", "bits"], how="inner",
+            )
+            .select(
+                "_id", "blk", "bits",
+                F.lit(-1).alias("sblk"), F.lit(0).cast("long").alias("sbits"),
+            )
+        )
+        over = parts.join(
+            sizes.where(F.col("_n") > max_bucket_size),
+            on=["blk", "bits"], how="inner",
         ).drop("_n")
-        # over-cap buckets: keep a deterministic cap-size sample (window is
-        # partitioned per bucket — parallel, and only over-cap volume pays)
-        w = Window.partitionBy("blk", "bits").orderBy(
+        refined = _simhash_refine(over, blocks)
+        rsizes = refined.groupBy("blk", "bits", "sblk", "sbits").agg(
+            F.count(F.lit(1)).alias("_rn_total")
+        )
+        runder = refined.join(
+            rsizes.where(F.col("_rn_total") <= max_bucket_size),
+            on=["blk", "bits", "sblk", "sbits"], how="inner",
+        ).drop("_rn_total")
+        # refined sub-buckets still over cap: deterministic cap-size sample
+        # (window is partitioned per sub-bucket — parallel, and only
+        # doubly-over-cap volume pays)
+        w = Window.partitionBy("blk", "bits", "sblk", "sbits").orderBy(
             F.xxhash64(F.col("_id").cast("string")), F.col("_id")
         )
-        over = (
-            parts.join(
-                sizes.where(F.col("_n") > max_bucket_size),
-                on=["blk", "bits"], how="inner",
+        rover = (
+            refined.join(
+                rsizes.where(F.col("_rn_total") > max_bucket_size),
+                on=["blk", "bits", "sblk", "sbits"], how="inner",
             )
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= max_bucket_size)
-            .drop("_n", "_rn")
+            .drop("_rn_total", "_rn")
         )
-        capped = under.unionByName(over)
+        capped = under.unionByName(runder).unionByName(rover)
         l, r = capped.alias("l"), capped.alias("r")
         band_pairs = (
             l.join(
                 r,
                 (F.col("l.blk") == F.col("r.blk"))
                 & (F.col("l.bits") == F.col("r.bits"))
+                & (F.col("l.sblk") == F.col("r.sblk"))
+                & (F.col("l.sbits") == F.col("r.sbits"))
                 & (F.col("l._id") < F.col("r._id")),
             )
             .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
@@ -494,13 +590,19 @@ def simhash_bucket_stats(
     sim: DataFrame, id_col: str, blocks: int = 4, max_bucket_size: int = 64
 ) -> dict:
     """Truncation observability for ``simhash_candidates`` — distribution of
-    rep-level block-bucket sizes and what the cap would drop (mirrors
-    ``minhash_bucket_stats``)."""
+    rep-level block-bucket sizes and what the cap costs (mirrors
+    ``minhash_bucket_stats``). Loss is accounted at the REFINED level:
+    over-cap outer buckets are re-keyed on sub-slices of the remaining
+    bits (guarantee-preserving, see ``simhash_candidates``), so the only
+    true loss is sampling inside refined sub-buckets that are STILL over
+    cap — ``candidate_pairs_dropped`` is the conservative C(n,2)−C(cap,2)
+    arithmetic over those, and ``est_in_bucket_pair_recall`` divides by
+    the outer-level in-bucket pair total (the pair set the un-capped
+    block join would have examined)."""
     s, groups = _simhash_groups(sim, id_col)
     try:
-        sizes = _simhash_blocks(groups, blocks).groupBy("blk", "bits").agg(
-            F.count(F.lit(1)).alias("_n")
-        )
+        parts = _simhash_blocks(groups, blocks, keep_sim=True)
+        sizes = parts.groupBy("blk", "bits").agg(F.count(F.lit(1)).alias("_n"))
         cap_pairs = max_bucket_size * (max_bucket_size - 1) / 2
         row = sizes.agg(
             F.count(F.lit(1)).alias("n_buckets"),
@@ -509,28 +611,58 @@ def simhash_bucket_stats(
             F.sum(F.when(F.col("_n") > max_bucket_size, 1).otherwise(0)).alias(
                 "buckets_capped"
             ),
-            # in-bucket pairs LOST to sampling: C(n,2) - C(cap,2) per
-            # over-cap bucket (a lost pair may still surface via another
-            # shared block — this is the conservative per-bucket loss)
-            F.sum(
-                F.when(
-                    F.col("_n") > max_bucket_size,
-                    F.col("_n") * (F.col("_n") - 1) / 2 - F.lit(cap_pairs),
-                ).otherwise(0)
-            ).alias("candidate_pairs_dropped"),
             F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_total_pairs"),
+        ).first()
+        # refined-level residual loss: only sub-buckets still over cap lose
+        # pairs (to the deterministic sample); everything else is exact.
+        # A pair can sit in up to ``blocks`` over-cap sub-buckets of the
+        # same outer bucket, so summing per-sub-bucket drops overcounts —
+        # bound each outer bucket's loss by its own sampled-level maximum
+        # C(n,2) − C(cap,2) (the sampled survivors are never lost).
+        over = parts.join(
+            sizes.where(F.col("_n") > max_bucket_size),
+            on=["blk", "bits"], how="inner",
+        ).drop("_n")
+        per_outer = (
+            _simhash_refine(over, blocks)
+            .groupBy("blk", "bits", "sblk", "sbits")
+            .agg(F.count(F.lit(1)).alias("_rn"))
+            .groupBy("blk", "bits")
+            .agg(
+                F.sum(
+                    F.when(F.col("_rn") > max_bucket_size, 1).otherwise(0)
+                ).alias("_subs_capped"),
+                F.sum(
+                    F.when(
+                        F.col("_rn") > max_bucket_size,
+                        F.col("_rn") * (F.col("_rn") - 1) / 2 - F.lit(cap_pairs),
+                    ).otherwise(0)
+                ).alias("_sub_drop"),
+            )
+            .join(sizes, on=["blk", "bits"], how="inner")
+        )
+        rrow = per_outer.agg(
+            F.sum("_subs_capped").alias("refined_buckets_capped"),
+            F.sum(
+                F.least(
+                    F.col("_sub_drop"),
+                    F.col("_n") * (F.col("_n") - 1) / 2 - F.lit(cap_pairs),
+                )
+            ).alias("dropped"),
         ).first()
         biggest = groups.agg(F.max("_m").alias("m")).first()["m"]
         total_pairs = float(row["_total_pairs"] or 0)
-        dropped = float(row["candidate_pairs_dropped"] or 0)
+        dropped = float(rrow["dropped"] or 0)
         recall = 1.0 if total_pairs == 0 else (total_pairs - dropped) / total_pairs
         return {
             "n_buckets": int(row["n_buckets"] or 0),
             "max_bucket": int(row["max_bucket"] or 0),
             "p99_bucket": int(row["p99_bucket"] or 0),
             "buckets_capped": int(row["buckets_capped"] or 0),
+            "refined_buckets_capped": int(rrow["refined_buckets_capped"] or 0),
             "candidate_pairs_dropped": int(dropped),
-            # lower bound: ignores cross-block rescue of dropped pairs
+            # lower bound: ignores cross-block/cross-slice rescue of
+            # pairs sampled out of a doubly-over-cap sub-bucket
             "est_in_bucket_pair_recall": round(recall, 4),
             "max_identical_simhash_group": int(biggest or 0),
         }

@@ -382,12 +382,14 @@ def test_jpeg_fill_bytes_before_marker(spark):
     assert parse_image_dims(jpeg) == (240, 120, "jpeg")
 
 
-def test_simhash_over_cap_bucket_rescue_and_sampling(spark):
-    """Capped-bucket recall (review finding): a near-miss pair whose shared
-    block is OVER cap must still be found via its other (under-cap) shared
-    blocks, and over-cap buckets are now SAMPLED to the cap instead of
-    dropped outright — pairs among sampled members survive, and the
-    residual loss is quantified in the stats."""
+def test_simhash_over_cap_bucket_refinement_guarantee(spark):
+    """Over-cap buckets are REFINED, not sampled (round-5 recall fix): a
+    Hamming-3 pair whose ONLY shared outer block is over cap — every other
+    outer block differs — must be found via the sub-slice re-keying
+    (pigeonhole at the second level), where the old cap-size sample only
+    found it with ~(cap/n)² probability. Random bulk members (Hamming ≫ k
+    from everything) shatter into tiny sub-buckets, so no loss is incurred
+    and the stats say so."""
     import random
 
     from techtalk_data_pipeline_snowpark_spark.operators.dedup import (
@@ -398,7 +400,7 @@ def test_simhash_over_cap_bucket_rescue_and_sampling(spark):
     rng = random.Random(7)
     cap = 16
     # 100 BULK docs: distinct random high-48 bits, all sharing block 0
-    # (bits 0-15 = 0xABCD) → bucket (blk0, 0xABCD) has 102 members, over cap
+    # (bits 0-15 = 0xABCD) → bucket (blk0, 0xABCD) has 104 members, over cap
     rows = []
     seen = set()
     for i in range(100):
@@ -407,12 +409,20 @@ def test_simhash_over_cap_bucket_rescue_and_sampling(spark):
             hi = rng.getrandbits(46)
         seen.add(hi)
         rows.append((i, (hi << 16) | 0xABCD))
-    # planted NEAR-MISS pair (Hamming 1): shares the over-cap block 0 AND
-    # blocks 2,3 (their bucket size = 2, under cap) — must be rescued
+    # planted Hamming-1 pair: shares over-cap block 0 AND blocks 2,3
+    # (under-cap) — found via either path
     hi = rng.getrandbits(46)
     vx = (hi << 16) | 0xABCD
     vy = vx ^ (1 << 20)  # flip one bit inside block 1
     rows += [(1_000_001, vx), (1_000_002, vy)]
+    # planted Hamming-3 pair: one flipped bit in EACH of blocks 1,2,3 —
+    # the ONLY shared outer block is the over-cap block 0, so only the
+    # refinement (sub-slices of the remaining 48 bits: ≤3 diffs across 4
+    # slices ⇒ one slice equal) can guarantee it
+    hi = rng.getrandbits(46)
+    wx = (hi << 16) | 0xABCD
+    wy = wx ^ (1 << 17) ^ (1 << 33) ^ (1 << 49)
+    rows += [(1_000_003, wx), (1_000_004, wy)]
     sim = spark.createDataFrame(rows, ["doc_id", "simhash"])
 
     pairs = {
@@ -421,15 +431,46 @@ def test_simhash_over_cap_bucket_rescue_and_sampling(spark):
             sim, "doc_id", max_bucket_size=cap
         ).collect()
     }
-    # 1. pigeonhole rescue: the Hamming-1 pair survives the over-cap block
+    # 1. pigeonhole rescue via under-cap blocks still works
     assert (1_000_001, 1_000_002) in pairs
-    # 2. sampling: some pairs among bulk members (whose ONLY shared block
-    #    is the over-cap one) still surface — the old hard drop yielded 0
+    # 2. the refinement guarantee: only-shared-block-over-cap Hamming-3
+    #    pair is found DETERMINISTICALLY (old sampling: ~2% chance)
+    assert (1_000_003, 1_000_004) in pairs
+    # 3. random bulk (Hamming ≫ 3 apart) mostly shatters — the O(n²)
+    #    in-bucket join the cap was defending against does not come back
     bulk_pairs = [p for p in pairs if p[0] < 100 and p[1] < 100]
-    assert len(bulk_pairs) >= cap * (cap - 1) // 2 - cap  # ~C(cap,2)
-    # 3. loss is quantified, never silent
+    assert len(bulk_pairs) < 100
+    # 4. no sub-bucket exceeded the cap → zero loss, and the stats say so
     stats = simhash_bucket_stats(sim, "doc_id", max_bucket_size=cap)
     assert stats["buckets_capped"] >= 1
+    assert stats["refined_buckets_capped"] == 0
+    assert stats["candidate_pairs_dropped"] == 0
+    assert stats["est_in_bucket_pair_recall"] == 1.0
+
+
+def test_simhash_doubly_over_cap_falls_back_to_sampling(spark):
+    """When an adversarial corpus shares an outer block AND a sub-slice
+    (refined sub-bucket still over cap), the second-level deterministic
+    sample bounds the join at O(cap²) and the residual loss is quantified,
+    never silent."""
+    from techtalk_data_pipeline_snowpark_spark.operators.dedup import (
+        simhash_bucket_stats,
+        simhash_candidates,
+    )
+
+    cap = 8
+    # 64 docs sharing block 0 (=0x1111) AND sub-slice 0 of the remaining 48
+    # bits (=0): values differ only in remainder bits 12.. (i.e. raw bits
+    # 28..) → every refined sub-bucket (blk0, sblk0, 0) holds all 64
+    rows = [(i, (i << 28) | 0x1111) for i in range(64)]
+    sim = spark.createDataFrame(rows, ["doc_id", "simhash"])
+
+    pairs = simhash_candidates(sim, "doc_id", max_bucket_size=cap).collect()
+    # sampled members still pair up; the join stayed bounded
+    assert 0 < len(pairs) < 64 * 63 / 2
+    stats = simhash_bucket_stats(sim, "doc_id", max_bucket_size=cap)
+    assert stats["buckets_capped"] >= 1
+    assert stats["refined_buckets_capped"] >= 1
     assert stats["candidate_pairs_dropped"] > 0
     assert 0 < stats["est_in_bucket_pair_recall"] < 1
 
