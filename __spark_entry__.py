@@ -1124,6 +1124,73 @@ FROM u GROUP BY o_orderstatus
 """
 
 
+def ivm_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG view maintenance under the exact-oracle gate (round-5 surface):
+    AVG is not a plain +/- aggregate — it is maintained as hidden
+    (sum, non-null count) state, both delta-decomposable, and materialized
+    as sum/cnt at read time with SQL null semantics (lake/ivm.py avg_cols).
+    The episode forces the two hard paths: an UPDATE that NULLS values
+    (the denominator must shrink — a naive avg-over-cnt would divide by
+    the row count and drift) and a DELETE filtered on the nullable measure
+    (null rows survive, mirrored in the oracle's IS NULL arm). Integer
+    source → exact integer sum → the one double division is bit-identical
+    to the oracle's."""
+    from techtalk_data_pipeline_snowpark_spark.lake import IncrementalAggView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_custkey").cast("long").alias("qty"),
+    )
+    root = tempfile.mkdtemp(prefix="ivm_avg_")
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "orders"),
+        orders.schema,
+        key_cols=["o_orderkey"],
+        num_buckets=4,
+    )
+    view = IncrementalAggView(
+        spark,
+        tbl,
+        os.path.join(root, "view"),
+        group_cols=["o_orderstatus"],
+        avg_cols={"avg_qty": "qty"},
+        num_buckets=2,
+    )
+    tbl.append(orders)
+    view.refresh()
+    lake_update(tbl, {"qty": F.col("qty") + 5}, F.col("o_orderkey") % 7 == 0)
+    view.refresh()
+    # null out scattered measures: AVG's denominator must drop with them
+    lake_update(
+        tbl,
+        {"qty": F.lit(None).cast("long")},
+        F.col("o_orderkey") % 13 == 0,
+    )
+    view.refresh()
+    # delete on the nullable measure: null rows survive (three-valued NOT)
+    lake_delete(tbl, F.col("qty") > 12000)
+    view.refresh()
+    return view.read().select("o_orderstatus", "cnt", "avg_qty")
+
+
+_IVM_AVG_ORACLE = """
+WITH u AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              WHEN o_orderkey % 7 = 0 THEN CAST(o_custkey AS BIGINT) + 5
+              ELSE CAST(o_custkey AS BIGINT) END AS qty
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(qty) AS DOUBLE) / COUNT(qty) AS avg_qty
+FROM u WHERE qty <= 12000 OR qty IS NULL
+GROUP BY o_orderstatus
+"""
+
+
 def rebucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution under the exact-oracle gate: a table
     created at 2 buckets takes an UPDATE, widens to 8 buckets via
@@ -2091,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebucket_orders": rebucket_orders,
         "ivm_orders_by_status": ivm_orders_by_status,
         "ivm_minmax_orders": ivm_minmax_orders,
+        "ivm_avg_orders": ivm_avg_orders,
         "ivm_count_distinct_orders": ivm_count_distinct_orders,
         "ingest_orders_roundtrip": ingest_orders_roundtrip,
         "read_changelog_orders": read_changelog_orders,
@@ -2144,6 +2212,7 @@ def oracle_sql() -> dict[str, str]:
         "rebucket_orders": _REBUCKET_ORACLE,
         "ivm_orders_by_status": _IVM_ORACLE,
         "ivm_minmax_orders": _IVM_MINMAX_ORACLE,
+        "ivm_avg_orders": _IVM_AVG_ORACLE,
         "ivm_count_distinct_orders": _IVM_COUNT_DISTINCT_ORACLE,
         "ingest_orders_roundtrip": _INGEST_ORACLE,
         "read_changelog_orders": _CHANGELOG_ORACLE,

@@ -27,7 +27,9 @@ the MERGE prunes to the buckets the changed groups hash into. A 10^10-row
 source with a million-row epoch costs the epoch, not the table.
 
 Supported aggregates: COUNT(*) (always, column ``cnt``), SUM(col)
-(self-decomposable under +/-; AVG = sum/cnt at read time), and MIN/MAX
+(self-decomposable under +/-), AVG(col) (maintained as hidden
+(sum, non-null count) state — both self-decomposable — materialized as
+sum/cnt at read time with SQL null semantics), and MIN/MAX
 via SCOPED RE-AGGREGATION: inserts maintain an extremum monotonically
 (``least(t.min, delta.min)``), but a delete/update that removes a group's
 current extremum can't be undone from the delta — those groups (and only
@@ -74,6 +76,7 @@ class IncrementalAggView:
         sum_cols: dict[str, str] | None = None,
         min_cols: dict[str, str] | None = None,
         max_cols: dict[str, str] | None = None,
+        avg_cols: dict[str, str] | None = None,
         num_buckets: int = 8,
         rescan_inlist_cap: int = 10_000,
     ):
@@ -84,11 +87,32 @@ class IncrementalAggView:
         self.sum_cols = dict(sum_cols or {})
         self.min_cols = dict(min_cols or {})
         self.max_cols = dict(max_cols or {})
+        # AVG is maintained as (sum, non-null count) hidden state columns —
+        # both self-decomposable under +/- — and materialized as sum/cnt at
+        # read time (SQL AVG ignores nulls, hence the per-column count; a
+        # group whose values are all null reads NULL, matching SQL). Use
+        # integer/decimal sources where byte-exactness vs a recompute
+        # matters (same float-associativity caveat as SUM).
+        self.avg_cols = dict(avg_cols or {})
         self.num_buckets = num_buckets
         self.rescan_inlist_cap = rescan_inlist_cap
-        overlap = set(self.min_cols) & set(self.max_cols)
-        if overlap:
-            raise ValueError(f"min/max output names collide: {sorted(overlap)}")
+        names = (
+            list(self.min_cols) + list(self.max_cols)
+            + list(self.sum_cols) + list(self.avg_cols)
+        )
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise ValueError(f"aggregate output names collide: {sorted(dupes)}")
+
+    @property
+    def _acc_cols(self) -> list[str]:
+        """State columns that merge by plain addition: cnt, sums, and the
+        hidden (sum, non-null count) pairs behind each AVG output."""
+        return [
+            "cnt",
+            *self.sum_cols.keys(),
+            *[c for o in self.avg_cols for c in (f"__avgs_{o}", f"__avgn_{o}")],
+        ]
 
     # --------------------------------------------------------------- state
     def table(self) -> LakeTable:
@@ -101,7 +125,20 @@ class IncrementalAggView:
         return int(t.snapshot().properties.get(PROP_SOURCE_VERSION, 0))
 
     def read(self) -> DataFrame:
-        return self.table().read()
+        df = self.table().read()
+        if not self.avg_cols:
+            return df
+        # materialize AVG = sum / non-null-count; NULL when the group's
+        # values were all null (matches SQL AVG). Hidden state stays hidden.
+        for o in self.avg_cols:
+            s, n = f"__avgs_{o}", f"__avgn_{o}"
+            df = df.withColumn(
+                o,
+                F.when(
+                    F.col(n) > 0, F.col(s).cast("double") / F.col(n)
+                ),
+            ).drop(s, n)
+        return df
 
     # ------------------------------------------------------------- refresh
     @property
@@ -132,6 +169,16 @@ class IncrementalAggView:
             # null reads 0 here where SQL SUM reads NULL — the one
             # documented divergence.)
             aggs.append(F.sum(F.coalesce(F.col(col), F.lit(0)) * sign).alias(out))
+        for out, col in self.avg_cols.items():
+            aggs.append(
+                F.sum(F.coalesce(F.col(col), F.lit(0)) * sign).alias(f"__avgs_{out}")
+            )
+            # non-null occurrence count: SQL AVG's denominator
+            aggs.append(
+                F.sum(F.when(F.col(col).isNotNull(), sign).otherwise(0))
+                .cast("long")
+                .alias(f"__avgn_{out}")
+            )
         for out, (kind, col) in self._extrema.items():
             fn = F.min if kind == "min" else F.max
             # inserted-side extremum (monotone merge candidate) and
@@ -210,16 +257,13 @@ class IncrementalAggView:
                 .alias(o)
                 for o in ext
             ]
-        return j.select(
-            *self.group_cols, "cnt", *self.sum_cols.keys(), *finals, "__resc"
-        )
+        return j.select(*self.group_cols, *self._acc_cols, *finals, "__resc")
 
     def _update_exprs(self) -> dict:
         """Matched-group merge expressions (hook: the HLL view swaps + for
         sketch union). Rescanned extrema take the re-aggregated truth;
         everyone else merges monotonically (least/greatest skip nulls)."""
-        agg_cols = ["cnt", *self.sum_cols.keys()]
-        upd = {c: F.col(f"t.{c}") + F.col(f"s.{c}") for c in agg_cols}
+        upd = {c: F.col(f"t.{c}") + F.col(f"s.{c}") for c in self._acc_cols}
         for o, (kind, _) in self._extrema.items():
             fn = F.least if kind == "min" else F.greatest
             upd[o] = F.when(F.col("s.__resc"), F.col(f"s.{o}")).otherwise(

@@ -232,6 +232,92 @@ def test_ivm_null_measures_do_not_poison_sums(spark, tmp_table_root):
     assert got == {("a", 1, 100)}
 
 
+def test_ivm_avg_tracks_recompute_through_episodes(spark, tmp_table_root):
+    """AVG maintenance (round-5 surface): hidden (sum, non-null count)
+    state follows the +/- delta algebra; read materializes sum/cnt with
+    SQL null semantics. Episodes force inserts, an UPDATE moving values,
+    an UPDATE nulling values (denominator must shrink), and a DELETE."""
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    view = IncrementalAggView(
+        spark, t, tmp_table_root + "/view",
+        group_cols=["repo"], avg_cols={"avg_size": "size"},
+    )
+
+    def recompute():
+        return {
+            (r.repo, r.avg_size)
+            for r in t.read().groupBy("repo")
+            .agg(F.avg("size").alias("avg_size")).collect()
+        }
+
+    def got():
+        return {(r.repo, r.avg_size) for r in view.read().select("repo", "avg_size").collect()}
+
+    t.append(_df(spark, [("a", "1", 10), ("a", "2", 20), ("b", "3", 7)]))
+    view.refresh()
+    assert got() == recompute() == {("a", 15.0), ("b", 7.0)}
+
+    update(t, {"size": F.col("size") + 10}, F.col("path") == "1")
+    view.refresh()
+    assert got() == recompute() == {("a", 20.0), ("b", 7.0)}
+
+    # null out a value: AVG ignores nulls — denominator must drop too
+    update(t, {"size": F.lit(None).cast("long")}, F.col("path") == "2")
+    view.refresh()
+    assert got() == recompute() == {("a", 20.0), ("b", 7.0)}
+
+    # delete the only non-null 'a' row: group all-null → AVG NULL (SQL)
+    delete(t, F.col("path") == "1")
+    view.refresh()
+    assert got() == recompute() == {("a", None), ("b", 7.0)}
+
+    # hidden state never leaks through read()
+    assert not [c for c in view.read().columns if c.startswith("__avg")]
+
+
+def test_ivm_avg_composes_with_sum_and_minmax(spark, tmp_table_root):
+    """avg_cols rides the same refresh/merge as sums and extrema — one
+    view maintaining all four families stays consistent with recompute."""
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    view = IncrementalAggView(
+        spark, t, tmp_table_root + "/view",
+        group_cols=["repo"],
+        sum_cols={"total": "size"},
+        min_cols={"min_size": "size"},
+        max_cols={"max_size": "size"},
+        avg_cols={"avg_size": "size"},
+    )
+    t.append(_df(spark, [("a", str(i), 10 * i) for i in range(1, 6)]))
+    view.refresh()
+    delete(t, F.col("size") >= 40)  # removes the max → rescan path
+    view.refresh()
+    exp = t.read().groupBy("repo").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("size").alias("total"),
+        F.min("size").alias("min_size"),
+        F.max("size").alias("max_size"),
+        F.avg("size").alias("avg_size"),
+    )
+    cols = ["repo", "cnt", "total", "min_size", "max_size", "avg_size"]
+    assert view.read().select(*cols).exceptAll(exp.select(*cols)).count() == 0
+    assert exp.select(*cols).exceptAll(view.read().select(*cols)).count() == 0
+
+
+def test_ivm_avg_output_name_collision_raises(spark, tmp_table_root):
+    t = LakeTable.create(
+        spark, tmp_table_root + "/src", SCHEMA, key_cols=["repo", "path"], num_buckets=2
+    )
+    with pytest.raises(ValueError, match="collide"):
+        IncrementalAggView(
+            spark, t, tmp_table_root + "/view", group_cols=["repo"],
+            sum_cols={"x": "size"}, avg_cols={"x": "size"},
+        )
+
+
 def test_ivm_survives_equality_delete_then_rewrite(spark, tmp_table_root):
     """Regression for the changelog edv-narrowing bug: a rewrite (merge)
     that removes files carrying only EQUALITY-delete refs must not
