@@ -206,3 +206,41 @@ def test_ivm_delta_has_partial_aggregation(spark, tmp_path):
     )
     delta = view._delta(0, t.latest_version())
     assert has_partial_aggregation(delta)
+
+
+def test_simhash_candidates_join_is_hash_not_nested_loop(spark):
+    """The refined block self-join keys on four equi columns
+    (blk, bits, sblk, sbits) plus an id inequality — Catalyst must plan a
+    shuffled/broadcast HASH join with the inequality as a post-filter,
+    never a nested-loop/cartesian (which would be O(n²) over the whole
+    corpus at 100 TB)."""
+    from techtalk_data_pipeline_snowpark_spark.operators.dedup import (
+        simhash_candidates,
+    )
+
+    from techtalk_data_pipeline_snowpark_spark.plans import formatted_plan
+
+    sim = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 2654435761).cast("long").alias("simhash"),
+    )
+    # localCheckpoint at the tail hides the join plan from the returned DF;
+    # intercept the checkpoint call on the CONCRETE DataFrame class (Spark 4
+    # instances are pyspark.sql.classic.dataframe.DataFrame, not the base
+    # class) and explain the pre-checkpoint pipeline there.
+    cls = type(sim)
+    captured = {}
+    orig = cls.localCheckpoint
+
+    def capture(self, eager=True):
+        captured["plan"] = formatted_plan(self)
+        return orig(self, eager=eager)
+
+    cls.localCheckpoint = capture
+    try:
+        simhash_candidates(sim, "doc_id", max_bucket_size=8).count()
+    finally:
+        cls.localCheckpoint = orig
+    plan = captured["plan"]
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "HashJoin" in plan, plan
