@@ -47,6 +47,9 @@ from techtalk_data_pipeline_snowpark_spark.functions.text import (
 from techtalk_data_pipeline_snowpark_spark.lake import LakeTable, merge_into
 from techtalk_data_pipeline_snowpark_spark.lake.merge import delete as lake_delete
 from techtalk_data_pipeline_snowpark_spark.lake.merge import update as lake_update
+from techtalk_data_pipeline_snowpark_spark.operators.components import (
+    assign_components,
+)
 from techtalk_data_pipeline_snowpark_spark.operators.dedup import (
     blocked_jaccard_near_dups,
     cosine,
@@ -2098,6 +2101,52 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the jaccard pair graph closed into connected
+    components (alternating large/small-star — `operators/components.py`),
+    every document labelled with its component's minimum doc_id and a
+    canonical flag. The oracle closes the SAME pair graph with a recursive
+    CTE (transitive closure → min reachable id), so the distributed
+    star-contraction is checked against declarative SQL semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = blocked_jaccard_near_dups(docs, "doc_id", "text", threshold=0.4)
+    return assign_components(docs, pairs, "doc_id")
+
+
+_DEDUP_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         array_to_string(toks[1:2], ' ') AS blk,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS sh
+  FROM t
+), capped AS (
+  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY blk) AS _bs FROM s)
+  WHERE _bs <= 64
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM capped a JOIN capped b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach(n, m) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+), comp AS (
+  SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM reach GROUP BY n
+)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 # ------------------------------------- non-SQL-expressible (rows-only)
 
 def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2179,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": cosine_topk,
         "embedding_near_dups_docs": embedding_near_dups_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
+        "dedup_clusters_docs": dedup_clusters_docs,
         "minhash_near_dup_docs": minhash_near_dup_docs,
         "simhash_docs": simhash_docs,
         "cosine_topk_ann": cosine_topk_ann,
@@ -2233,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "embedding_near_dups_docs": _NEAR_DUPS_ORACLE,
         "ngram_jaccard_docs": _NGRAM_JACCARD_ORACLE,
+        "dedup_clusters_docs": _DEDUP_CLUSTERS_ORACLE,
         # minhash_near_dup_docs / simhash_docs / cosine_topk_ann: xxhash64-
         # bucketed approximations — not SQL-expressible; rows-only check.
     }

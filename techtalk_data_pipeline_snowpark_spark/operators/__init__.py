@@ -4,6 +4,7 @@ from .analytics import (
     top_restaurants_last_30_days,
 )
 from .asof import asof_join
+from .components import assign_components, connected_components
 from .interval import interval_join
 from .dedup import (
     char_ngrams,
