@@ -61,6 +61,11 @@ from techtalk_data_pipeline_snowpark_spark.operators.ingest import (
     ingest_raw_to_flat,
     land_raw,
 )
+from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
+    hash_split,
+    hash_split_oracle_case,
+    pack_shards,
+)
 from techtalk_data_pipeline_snowpark_spark.operators.similarity import cosine_topk_ivf
 
 
@@ -2147,6 +2152,59 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT = "r5"
+
+
+def hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: md5(id||salt) prefix vs
+    lexicographic hex thresholds (`operators/sharding.py`). Pure function
+    of the id — stable across runs, cluster sizes, and row order; map-only,
+    zero shuffle. The oracle runs the IDENTICAL CASE expression in DuckDB,
+    so the cross-engine hash-prefix semantics are value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT
+    ).select("doc_id", "split")
+
+
+def _hash_split_oracle() -> str:
+    case = hash_split_oracle_case("CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, _SPLIT_SALT)
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+_PACK_BUDGET = 2000
+
+
+def pack_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: shard = floor(exclusive-prefix-sum of
+    whitespace tokens in doc_id order / budget). Spark side is the
+    DISTRIBUTED two-phase prefix sum (range repartition + per-partition
+    offsets — no global single-partition window; `operators/sharding.py`);
+    the oracle is the textbook global window, so the distributed
+    decomposition is checked against the declarative definition."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("ws_tokens")
+    )
+    packed = pack_shards(docs, "doc_id", "ws_tokens", budget=_PACK_BUDGET)
+    return packed.select("doc_id", "ws_tokens", "shard_id")
+
+
+_PACK_SHARDS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens
+  FROM documents
+)
+SELECT doc_id, ws_tokens,
+       CAST(floor(COALESCE(SUM(ws_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {_PACK_BUDGET}) AS BIGINT) AS shard_id
+FROM toks
+"""
+
+
 # ------------------------------------- non-SQL-expressible (rows-only)
 
 def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2229,6 +2287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_docs": embedding_near_dups_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
+        "hash_split_docs": hash_split_docs,
+        "pack_shards_docs": pack_shards_docs,
         "minhash_near_dup_docs": minhash_near_dup_docs,
         "simhash_docs": simhash_docs,
         "cosine_topk_ann": cosine_topk_ann,
@@ -2284,6 +2344,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups_docs": _NEAR_DUPS_ORACLE,
         "ngram_jaccard_docs": _NGRAM_JACCARD_ORACLE,
         "dedup_clusters_docs": _DEDUP_CLUSTERS_ORACLE,
+        "hash_split_docs": _hash_split_oracle(),
+        "pack_shards_docs": _PACK_SHARDS_ORACLE,
         # minhash_near_dup_docs / simhash_docs / cosine_topk_ann: xxhash64-
         # bucketed approximations — not SQL-expressible; rows-only check.
     }

@@ -1,0 +1,177 @@
+"""Training-corpus sharding — deterministic splits and token-budget packing.
+
+Two operators every large-scale training-data pipeline needs downstream of
+dedup/quality filtering (beyond-reference family the brief asks for; the
+reference pipelines in `/root/reference` stop at per-row transforms):
+
+* **hash_split** — assign every document to train/val/test by hashing its
+  id. The assignment is a pure function of (id, salt): stable across runs,
+  cluster sizes, and row order; adding documents never moves an existing
+  one between splits. Implemented as lexicographic threshold comparison on
+  the first 8 hex chars of md5 — fixed-width lowercase hex compares
+  exactly like the underlying 32-bit integer, so the same rule is
+  expressible verbatim in ANSI SQL (the DuckDB oracle runs the identical
+  CASE expression). Map-only: no shuffle, no UDF, whole-stage codegen.
+
+* **pack_shards** — pack documents into fixed-token-budget shards in
+  deterministic id order: shard_id = floor(exclusive_prefix_sum(tokens)
+  / budget). The textbook formulation is a GLOBAL window (one partition =
+  one sorted task = dead at 100 TB); here it's the distributed two-phase
+  prefix sum: range-repartition on id (pid order == global key order by
+  the RangePartitioner contract), per-partition exclusive cumsum via a
+  partition-local window, plus a broadcast map of per-partition offsets
+  (one bounded ≤num_partitions-row collect). One shuffle total, every
+  window confined to its partition — the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["hash_split", "hash_split_expr", "pack_shards"]
+
+_HEX_WIDTH = 8  # first 8 md5 hex chars = 32 uniform bits; plenty for splits
+
+
+def _thresholds(weights: Mapping[str, float]) -> list[tuple[str, str]]:
+    """(label, exclusive upper hex bound) per split, in declaration order.
+
+    Bounds are cumulative fractions of 16^8 rendered as zero-padded
+    lowercase hex so that lexicographic `<` on the md5 prefix equals
+    numeric `<` on the hash value.
+    """
+    if not weights:
+        raise ValueError("hash_split needs at least one split weight")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    out: list[tuple[str, str]] = []
+    acc = 0.0
+    for label, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for split {label!r}")
+        acc += w / total
+        bound = min(int(acc * (16 ** _HEX_WIDTH)), 16 ** _HEX_WIDTH)
+        out.append((label, format(min(bound, 16 ** _HEX_WIDTH - 1), "08x")))
+    # Last split is the catch-all: its bound is never compared.
+    return out
+
+
+def hash_split_expr(id_col: Column | str, weights: Mapping[str, float], salt: str = "") -> Column:
+    """Column expression assigning a split label; see :func:`hash_split`."""
+    ident = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.substring(F.md5(F.concat(ident.cast("string"), F.lit(salt))), 1, _HEX_WIDTH)
+    ths = _thresholds(weights)
+    expr = F.lit(ths[-1][0])
+    for label, bound in reversed(ths[:-1]):
+        expr = F.when(h < F.lit(bound), F.lit(label)).otherwise(expr)
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Stamp a deterministic train/val/test split label onto every row.
+
+    ``weights`` maps label -> relative weight (normalized; default
+    80/10/10 train/val/test). ``salt`` reshuffles the assignment without
+    touching the data — bump it to draw a fresh split. Map-only and
+    oracle-exact: the same md5-prefix CASE runs in DuckDB.
+    """
+    w = dict(weights) if weights else {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn(split_col, hash_split_expr(id_col, w, salt))
+
+
+def hash_split_oracle_case(id_col: str, weights: Mapping[str, float], salt: str = "") -> str:
+    """The ANSI-SQL CASE equivalent of :func:`hash_split_expr` (DuckDB oracle)."""
+    ths = _thresholds(dict(weights))
+    h = f"substr(md5({id_col} || '{salt}'), 1, {_HEX_WIDTH})"
+    arms = "".join(
+        f" WHEN {h} < '{bound}' THEN '{label}'" for label, bound in ths[:-1]
+    )
+    return f"CASE{arms} ELSE '{ths[-1][0]}' END"
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    shard_col: str = "shard_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign ``shard_id = floor(exclusive_prefix_sum(tokens) / budget)``
+    over rows ordered by ``id_col`` — token-budget shard packing.
+
+    Distributed two-phase prefix sum (no global sort partition):
+
+    1. ``repartitionByRange`` on id — the RangePartitioner guarantees
+       every key in partition p sorts before every key in partition p+1,
+       so global order = (pid, id) order. The ranged frame is persisted so
+       the boundary sampling happens exactly once for both passes.
+    2. Per-partition totals (``groupBy(pid)`` — at most num_partitions
+       rows collected) become a literal offset map on the driver.
+    3. Each row's exclusive global prefix = its partition's offset + a
+       partition-LOCAL exclusive running sum (window partitioned by pid,
+       never global).
+
+    Cost: one range shuffle + one bounded collect; scales linearly.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    n = int(n)
+    ranged = (
+        df.repartitionByRange(n, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        totals = {
+            r["__pid"]: r["t"]
+            for r in ranged.groupBy("__pid")
+            .agg(F.coalesce(F.sum(F.col(tokens_col).cast("long")), F.lit(0)).alias("t"))
+            .collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += int(totals[pid])
+        if offsets:
+            pairs: list[Column] = []
+            for pid, off in offsets.items():
+                pairs.extend([F.lit(pid), F.lit(off)])
+            off_expr = F.element_at(F.create_map(*pairs), F.col("__pid"))
+        else:
+            off_expr = F.lit(0)
+        w = (
+            Window.partitionBy("__pid")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local_prefix = F.coalesce(F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0))
+        out = ranged.withColumn(
+            shard_col,
+            F.floor((off_expr + local_prefix) / F.lit(int(budget))).cast("long"),
+        ).drop("__pid")
+        # Materialization happens downstream; the persist barrier above is
+        # what pins the range boundaries consistent between the two passes.
+        return out
+    except Exception:
+        ranged.unpersist()
+        raise
+
+
+def shard_manifest(packed: DataFrame, tokens_col: str, shard_col: str = "shard_id") -> DataFrame:
+    """Per-shard doc/token totals — the sanity view a packing run reports."""
+    return packed.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"),
+    )
