@@ -61,6 +61,9 @@ from techtalk_data_pipeline_snowpark_spark.operators.ingest import (
     ingest_raw_to_flat,
     land_raw,
 )
+from techtalk_data_pipeline_snowpark_spark.operators.decontaminate import (
+    flag_contaminated,
+)
 from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
     hash_split,
     hash_split_oracle_case,
@@ -2173,6 +2176,40 @@ def _hash_split_oracle() -> str:
     return f"SELECT doc_id, {case} AS split FROM documents"
 
 
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination composed with the deterministic split:
+    the 'test' split acts as the benchmark, and every 'train' document is
+    flagged if it shares any word 4-gram with it
+    (`operators/decontaminate.py` — explode → BROADCAST semi-join, no
+    big-side shuffle). The oracle recomputes the same split, shingles, and
+    overlap declaratively in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    labelled = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    train = labelled.where(F.col("split") == "train")
+    bench = labelled.where(F.col("split") == "test")
+    return flag_contaminated(train, bench, "doc_id", "text", n=4).select(
+        "doc_id", "contaminated"
+    )
+
+
+def _decontaminate_oracle() -> str:
+    case = hash_split_oracle_case("CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, _SPLIT_SALT)
+    return rf"""
+WITH labelled AS (SELECT doc_id, text, {case} AS split FROM documents),
+toks AS (SELECT doc_id, split, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+         FROM labelled),
+sh AS (SELECT doc_id, split,
+              list_distinct([array_to_string(toks[i:i+3], ' ')
+                             FOR i IN range(1, greatest(len(toks)-3, 1)+1)]) AS grams
+       FROM toks),
+bg AS (SELECT DISTINCT gram FROM (SELECT unnest(grams) AS gram FROM sh WHERE split='test')),
+tg AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM sh WHERE split='train'),
+hits AS (SELECT DISTINCT doc_id FROM tg JOIN bg USING (gram))
+SELECT s.doc_id, s.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+FROM sh s WHERE s.split = 'train'
+"""
+
+
 _PACK_BUDGET = 2000
 
 
@@ -2288,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
         "hash_split_docs": hash_split_docs,
+        "decontaminate_docs": decontaminate_docs,
         "pack_shards_docs": pack_shards_docs,
         "minhash_near_dup_docs": minhash_near_dup_docs,
         "simhash_docs": simhash_docs,
@@ -2345,6 +2383,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_docs": _NGRAM_JACCARD_ORACLE,
         "dedup_clusters_docs": _DEDUP_CLUSTERS_ORACLE,
         "hash_split_docs": _hash_split_oracle(),
+        "decontaminate_docs": _decontaminate_oracle(),
         "pack_shards_docs": _PACK_SHARDS_ORACLE,
         # minhash_near_dup_docs / simhash_docs / cosine_topk_ann: xxhash64-
         # bucketed approximations — not SQL-expressible; rows-only check.
