@@ -67,6 +67,8 @@ from techtalk_data_pipeline_snowpark_spark.operators.decontaminate import (
 from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
     hash_split,
     hash_split_oracle_case,
+    mixture_resample,
+    mixture_resample_oracle,
     pack_shards,
 )
 from techtalk_data_pipeline_snowpark_spark.operators.similarity import cosine_topk_ivf
@@ -2210,6 +2212,28 @@ FROM sh s WHERE s.split = 'train'
 """
 
 
+_MIX_WEIGHTS = {"en": 0.5, "zh": 2.5, "fr": 0.25, "de": 1.5}
+
+
+def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture resampling: per-lang weights both down-
+    sample (w<1: md5-threshold keep) and upsample (w>1: floor(w) copies +
+    one hash-gated extra), map-only with no shuffle
+    (`operators/sharding.py`). The oracle runs the identical CASE +
+    range-unnest in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_resample(
+        docs, "lang", _MIX_WEIGHTS, "doc_id", salt="mix5"
+    ).select("doc_id", "lang", "copy_id")
+
+
+def _mixture_oracle() -> str:
+    return mixture_resample_oracle(
+        "documents", "lang", _MIX_WEIGHTS, "doc_id", salt="mix5",
+        select=["doc_id", "lang"],
+    )
+
+
 _PACK_BUDGET = 2000
 
 
@@ -2327,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_docs": hash_split_docs,
         "decontaminate_docs": decontaminate_docs,
         "pack_shards_docs": pack_shards_docs,
+        "mixture_resample_docs": mixture_resample_docs,
         "minhash_near_dup_docs": minhash_near_dup_docs,
         "simhash_docs": simhash_docs,
         "cosine_topk_ann": cosine_topk_ann,
@@ -2385,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split_docs": _hash_split_oracle(),
         "decontaminate_docs": _decontaminate_oracle(),
         "pack_shards_docs": _PACK_SHARDS_ORACLE,
+        "mixture_resample_docs": _mixture_oracle(),
         # minhash_near_dup_docs / simhash_docs / cosine_topk_ann: xxhash64-
         # bucketed approximations — not SQL-expressible; rows-only check.
     }

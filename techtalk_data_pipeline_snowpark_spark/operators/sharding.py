@@ -30,7 +30,7 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["hash_split", "hash_split_expr", "pack_shards"]
+__all__ = ["hash_split", "hash_split_expr", "mixture_resample", "pack_shards"]
 
 _HEX_WIDTH = 8  # first 8 md5 hex chars = 32 uniform bits; plenty for splits
 
@@ -167,6 +167,85 @@ def pack_shards(
     except Exception:
         ranged.unpersist()
         raise
+
+
+def _frac_hex(frac: float) -> str:
+    """Hex bound for a keep-fraction in [0, 1] (same scheme as splits)."""
+    bound = max(0, min(int(frac * (16 ** _HEX_WIDTH)), 16 ** _HEX_WIDTH - 1))
+    return format(bound, "08x")
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    weights: Mapping[str, float],
+    id_col: str,
+    salt: str = "",
+    default_weight: float = 1.0,
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic data-mixture resampling: every row is kept
+    ``floor(w)`` times plus one more iff md5(id‖salt) prefix falls under
+    the fractional part of its group's weight — so w=0.25 downsamples to
+    a quarter, w=2.5 emits 2 or 3 copies, and the realized mix converges
+    to the target proportions. Pure function of (id, group, salt): stable
+    under corpus growth and row order; map-only (the explosion is a
+    per-row ``sequence``/``explode``, no shuffle). Groups absent from
+    ``weights`` get ``default_weight``. Output rows carry ``copy_col``
+    (0-based) so downstream shuffling/packing can distinguish copies.
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be non-negative")
+    ident = F.col(id_col)
+    h = F.substring(F.md5(F.concat(ident.cast("string"), F.lit(salt))), 1, _HEX_WIDTH)
+
+    def _copies(w: float) -> Column:
+        full = int(w)
+        frac = w - full
+        extra = (h < F.lit(_frac_hex(frac))).cast("int") if frac > 0 else F.lit(0)
+        return F.lit(full) + extra
+
+    copies = _copies(default_weight)
+    for g, w in weights.items():
+        copies = F.when(F.col(group_col) == F.lit(g), _copies(w)).otherwise(copies)
+    return (
+        df.withColumn("__copies", copies)
+        .where(F.col("__copies") >= 1)  # guard: Spark sequence(0,-1) would auto-step backwards
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__copies") - 1)))
+        .withColumn(copy_col, F.col(copy_col).cast("long"))
+        .drop("__copies")
+    )
+
+
+def mixture_resample_oracle(
+    table: str,
+    group_col: str,
+    weights: Mapping[str, float],
+    id_col: str,
+    salt: str = "",
+    default_weight: float = 1.0,
+    copy_col: str = "copy_id",
+    select: Sequence[str] = (),
+) -> str:
+    """ANSI-SQL (DuckDB) equivalent of :func:`mixture_resample`."""
+    h = f"substr(md5(CAST({id_col} AS VARCHAR) || '{salt}'), 1, {_HEX_WIDTH})"
+
+    def _copies(w: float) -> str:
+        full = int(w)
+        frac = w - full
+        if frac > 0:
+            return f"{full} + CASE WHEN {h} < '{_frac_hex(frac)}' THEN 1 ELSE 0 END"
+        return str(full)
+
+    arms = "".join(
+        f" WHEN {group_col} = '{g}' THEN {_copies(w)}" for g, w in weights.items()
+    )
+    cols = ", ".join(select) if select else "*"
+    return (
+        f"SELECT {cols}, CAST(unnest(range(__copies)) AS BIGINT) AS {copy_col} "
+        f"FROM (SELECT *, CASE{arms} ELSE {_copies(default_weight)} END AS __copies "
+        f"FROM {table})"
+    )
 
 
 def shard_manifest(packed: DataFrame, tokens_col: str, shard_col: str = "shard_id") -> DataFrame:

@@ -115,3 +115,75 @@ def test_pack_shards_empty_and_validation(spark):
     assert pack_shards(empty, "doc_id", "tokens", budget=100).count() == 0
     with pytest.raises(ValueError):
         pack_shards(empty, "doc_id", "tokens", budget=0)
+
+
+# ------------------------------------------------------ mixture_resample
+
+def _langs(spark, n=2000):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
+        mixture_resample as _,  # noqa: F401 — keep import near use
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("zh"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_mixture_hits_target_proportions(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import mixture_resample
+
+    out = mixture_resample(
+        _langs(spark), "lang", {"en": 0.5, "zh": 2.5}, "doc_id", salt="t"
+    )
+    counts = {r["lang"]: r["c"] for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    base = 2000 // 3  # ~667 per lang
+    assert counts["en"] / base == pytest.approx(0.5, abs=0.1)
+    assert counts["zh"] / base == pytest.approx(2.5, abs=0.2)
+    assert counts["fr"] == 666  # default weight 1.0 keeps all, one copy
+
+
+def test_mixture_upsample_copies_are_distinct_and_bounded(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import mixture_resample
+
+    out = mixture_resample(_langs(spark, 300), "lang", {"zh": 2.5}, "doc_id")
+    per_doc = out.where(F.col("lang") == "zh").groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.countDistinct("copy_id").alias("d"),
+        F.max("copy_id").alias("mx"),
+    )
+    bad = per_doc.where(
+        (F.col("n") < 2) | (F.col("n") > 3) | (F.col("n") != F.col("d"))
+        | (F.col("mx") != F.col("n") - 1)
+    ).count()
+    assert bad == 0
+
+
+def test_mixture_deterministic_and_growth_stable(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import mixture_resample
+
+    w = {"en": 0.3, "zh": 1.5}
+    small = mixture_resample(_langs(spark, 300), "lang", w, "doc_id", salt="g")
+    big = mixture_resample(_langs(spark, 900), "lang", w, "doc_id", salt="g")
+    # Every (doc_id, copy_id) of the small corpus survives verbatim in the
+    # bigger one: growing the corpus never changes an existing decision.
+    assert small.select("doc_id", "copy_id").exceptAll(
+        big.select("doc_id", "copy_id")
+    ).count() == 0
+
+
+def test_mixture_zero_weight_drops_group_and_no_shuffle(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import mixture_resample
+
+    out = mixture_resample(_langs(spark, 300), "lang", {"fr": 0.0}, "doc_id")
+    assert out.where(F.col("lang") == "fr").count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mixture_negative_weight_rejected(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import mixture_resample
+
+    with pytest.raises(ValueError):
+        mixture_resample(_langs(spark, 10), "lang", {"en": -0.5}, "doc_id")
