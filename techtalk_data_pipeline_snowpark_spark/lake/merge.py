@@ -128,7 +128,6 @@ def merge_into(
         if total != distinct:
             raise ValueError(f"merge source keys not unique: {total} rows, {distinct} keys")
 
-    src = source.alias("s")
     matched = F.lit(True) if matched_condition is None else matched_condition
     # Insert branch condition. A delete op arriving for an absent key is a
     # no-op (never an insert), so the delete condition (source-side, e.g.

@@ -120,11 +120,12 @@ def connected_components(
     ``max_iterations`` alternations (log²-round bound: 50 covers any
     realistic graph; a non-converging run indicates a bug, not data).
     """
-    e = _canon(edges, src, dst)
+    e = _canon(edges, src, dst).localCheckpoint(eager=True)
+    # nodes derives from the CHECKPOINTED edges — the final roots anti-join
+    # must not re-execute the caller's (possibly expensive) pair pipeline.
     nodes = e.select(F.col("u").alias("node")).union(
         e.select(F.col("v").alias("node"))
     ).distinct()
-    e = e.localCheckpoint(eager=True)
     if e.isEmpty():
         return e.select(
             F.col("u").alias("node"), F.col("v").alias("component")

@@ -619,6 +619,20 @@ def simhash_bucket_stats(
         # same outer bucket, so summing per-sub-bucket drops overcounts —
         # bound each outer bucket's loss by its own sampled-level maximum
         # C(n,2) − C(cap,2) (the sampled survivors are never lost).
+        # Healthy corpus (no over-cap buckets): the loss is identically
+        # zero — skip the refine re-key and its aggregations entirely.
+        if int(row["buckets_capped"] or 0) == 0:
+            biggest = groups.agg(F.max("_m").alias("m")).first()["m"]
+            return {
+                "n_buckets": int(row["n_buckets"] or 0),
+                "max_bucket": int(row["max_bucket"] or 0),
+                "p99_bucket": int(row["p99_bucket"] or 0),
+                "buckets_capped": 0,
+                "refined_buckets_capped": 0,
+                "candidate_pairs_dropped": 0,
+                "est_in_bucket_pair_recall": 1.0,
+                "max_identical_simhash_group": int(biggest or 0),
+            }
         over = parts.join(
             sizes.where(F.col("_n") > max_bucket_size),
             on=["blk", "bits"], how="inner",

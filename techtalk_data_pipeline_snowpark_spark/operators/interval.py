@@ -84,12 +84,17 @@ def interval_join(
     rename collisions beforehand.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if granularity != "auto" and int(granularity) <= 0:
+        raise ValueError("granularity must be positive")
+    if granularity == "auto" or max_cells_per_interval is not None:
+        # The span-quantile pass is an ACTION over the intervals plan; pin
+        # the input first so the cell-explode join reads the materialized
+        # result instead of re-executing the caller's upstream pipeline.
+        intervals = intervals.localCheckpoint(eager=True)
     if granularity == "auto":
         g = derive_granularity(intervals, start_col, end_col, target_cells)
     else:
         g = int(granularity)
-        if g <= 0:
-            raise ValueError("granularity must be positive")
         if max_cells_per_interval is not None:
             q = intervals.select(
                 (

@@ -35,6 +35,13 @@ __all__ = ["hash_split", "hash_split_expr", "mixture_resample", "pack_shards"]
 _HEX_WIDTH = 8  # first 8 md5 hex chars = 32 uniform bits; plenty for splits
 
 
+def _hash_prefix(ident: Column, salt: str) -> Column:
+    """The shared decision hash: first _HEX_WIDTH chars of md5(id||salt).
+    hash_split and mixture_resample (and their DuckDB oracles) must all
+    hash identically — change it here or nowhere."""
+    return F.substring(F.md5(F.concat(ident.cast("string"), F.lit(salt))), 1, _HEX_WIDTH)
+
+
 def _thresholds(weights: Mapping[str, float]) -> list[tuple[str, str]]:
     """(label, exclusive upper hex bound) per split, in declaration order.
 
@@ -62,7 +69,7 @@ def _thresholds(weights: Mapping[str, float]) -> list[tuple[str, str]]:
 def hash_split_expr(id_col: Column | str, weights: Mapping[str, float], salt: str = "") -> Column:
     """Column expression assigning a split label; see :func:`hash_split`."""
     ident = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.substring(F.md5(F.concat(ident.cast("string"), F.lit(salt))), 1, _HEX_WIDTH)
+    h = _hash_prefix(ident, salt)
     ths = _thresholds(weights)
     expr = F.lit(ths[-1][0])
     for label, bound in reversed(ths[:-1]):
@@ -113,8 +120,9 @@ def pack_shards(
 
     1. ``repartitionByRange`` on id — the RangePartitioner guarantees
        every key in partition p sorts before every key in partition p+1,
-       so global order = (pid, id) order. The ranged frame is persisted so
-       the boundary sampling happens exactly once for both passes.
+       so global order = (pid, id) order. The ranged frame is eagerly
+       localCheckpoint-ed so the boundary sampling happens exactly once
+       for both passes.
     2. Per-partition totals (``groupBy(pid)`` — at most num_partitions
        rows collected) become a literal offset map on the driver.
     3. Each row's exclusive global prefix = its partition's offset + a
@@ -127,46 +135,44 @@ def pack_shards(
         raise ValueError("budget must be positive")
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     n = int(n)
+    # Eager localCheckpoint (not persist): pins the sampled range boundaries
+    # so both passes see identical pids, cuts lineage, and — unlike a cache
+    # entry, which the CacheManager keeps alive indefinitely — its blocks
+    # are reclaimed by the ContextCleaner once the result is unreachable
+    # (no per-call storage leak in a long-lived driver).
     ranged = (
         df.repartitionByRange(n, F.col(id_col))
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    try:
-        totals = {
-            r["__pid"]: r["t"]
-            for r in ranged.groupBy("__pid")
-            .agg(F.coalesce(F.sum(F.col(tokens_col).cast("long")), F.lit(0)).alias("t"))
-            .collect()
-        }
-        offsets: dict[int, int] = {}
-        acc = 0
-        for pid in sorted(totals):
-            offsets[pid] = acc
-            acc += int(totals[pid])
-        if offsets:
-            pairs: list[Column] = []
-            for pid, off in offsets.items():
-                pairs.extend([F.lit(pid), F.lit(off)])
-            off_expr = F.element_at(F.create_map(*pairs), F.col("__pid"))
-        else:
-            off_expr = F.lit(0)
-        w = (
-            Window.partitionBy("__pid")
-            .orderBy(id_col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        local_prefix = F.coalesce(F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0))
-        out = ranged.withColumn(
-            shard_col,
-            F.floor((off_expr + local_prefix) / F.lit(int(budget))).cast("long"),
-        ).drop("__pid")
-        # Materialization happens downstream; the persist barrier above is
-        # what pins the range boundaries consistent between the two passes.
-        return out
-    except Exception:
-        ranged.unpersist()
-        raise
+    totals = {
+        r["__pid"]: r["t"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.coalesce(F.sum(F.col(tokens_col).cast("long")), F.lit(0)).alias("t"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid])
+    if offsets:
+        pairs: list[Column] = []
+        for pid, off in offsets.items():
+            pairs.extend([F.lit(pid), F.lit(off)])
+        off_expr = F.element_at(F.create_map(*pairs), F.col("__pid"))
+    else:
+        off_expr = F.lit(0)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prefix = F.coalesce(F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0))
+    return ranged.withColumn(
+        shard_col,
+        F.floor((off_expr + local_prefix) / F.lit(int(budget))).cast("long"),
+    ).drop("__pid")
 
 
 def _frac_hex(frac: float) -> str:
@@ -196,8 +202,7 @@ def mixture_resample(
     """
     if any(w < 0 for w in weights.values()) or default_weight < 0:
         raise ValueError("mixture weights must be non-negative")
-    ident = F.col(id_col)
-    h = F.substring(F.md5(F.concat(ident.cast("string"), F.lit(salt))), 1, _HEX_WIDTH)
+    h = _hash_prefix(F.col(id_col), salt)
 
     def _copies(w: float) -> Column:
         full = int(w)
