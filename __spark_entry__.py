@@ -57,6 +57,16 @@ from techtalk_data_pipeline_snowpark_spark.operators.dedup import (
     minhash_near_dups,
     simhash64,
 )
+from techtalk_data_pipeline_snowpark_spark.lake.metaquery import metadata_aggregate
+from techtalk_data_pipeline_snowpark_spark.operators.linedup import (
+    chunk_words_as_lines,
+    remove_duplicate_lines,
+)
+from techtalk_data_pipeline_snowpark_spark.operators.quality import (
+    PII_PATTERNS,
+    redact_pii,
+    repetition_stats,
+)
 from techtalk_data_pipeline_snowpark_spark.operators.ingest import (
     ingest_raw_to_flat,
     land_raw,
@@ -2292,6 +2302,171 @@ def cosine_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------- corpus hygiene + metadata agg
+
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition measures (`operators/quality.py`): exact
+    integer duplicate-token / top-2-gram / duplicate-3-gram counts per
+    document plus the integer-arithmetic `repetitive` flag. Map-only JVM
+    higher-order aggregates over the SORTED gram array — no explode, no
+    shuffle, no Python (the within-row run-length counting never pays a
+    (doc, gram) shuffle). The oracle recomputes via unnest + GROUP BY in
+    DuckDB; all compared values are integers/booleans, so no float drift
+    can exist."""
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_2grams",
+        "top_2gram_count", "n_3grams", "dup_3gram_count", "repetitive",
+    )
+
+
+_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct_tokens,
+         [array_to_string(t[i:i+1], ' ') FOR i IN range(1, greatest(len(t)-1, 1)+1)] AS g2,
+         [array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t)-2, 1)+1)] AS g3
+  FROM toks
+),
+c2 AS (
+  SELECT doc_id, max(cnt) AS top_2gram_count FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+    GROUP BY doc_id, gram) GROUP BY doc_id
+),
+c3 AS (
+  SELECT doc_id, coalesce(sum(cnt) FILTER (cnt >= 2), 0) AS dup_3gram_count FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (SELECT doc_id, unnest(g3) AS gram FROM g)
+    GROUP BY doc_id, gram) GROUP BY doc_id
+)
+SELECT g.doc_id, n_tokens, n_distinct_tokens, len(g2) AS n_2grams, top_2gram_count,
+       len(g3) AS n_3grams, dup_3gram_count,
+       (top_2gram_count * 5 > len(g2)) OR (dup_3gram_count * 2 > len(g3)) AS repetitive
+FROM g JOIN c2 USING (doc_id) JOIN c3 USING (doc_id)
+"""
+
+
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (`operators/quality.py`): emails / IPv4s / phone
+    numbers → placeholder tags with per-doc match counts, pure JVM
+    `regexp_replace`/`regexp_count` (map-only, zero Python). The corpus
+    has no organic PII, so the entry PLANTS deterministic PII by doc_id
+    residue; the oracle plants identically and replays the same
+    RE2-compatible patterns with DuckDB's regexp functions."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" mail a.b@ex-7.org now")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" host 10.0.0.8 up")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" call 555-123-4567 x")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(planted).select("doc_id", "text", "n_email", "n_ipv4", "n_phone")
+
+
+def _redact_oracle() -> str:
+    e, i4, ph = PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"]
+    return rf"""
+WITH planted AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0 THEN ' mail a.b@ex-7.org now' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.0.8 up' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567 x' ELSE '' END AS text
+  FROM documents
+),
+s1 AS (SELECT doc_id, len(regexp_extract_all(text, '{e}')) AS n_email,
+              regexp_replace(text, '{e}', '<EMAIL>', 'g') AS t1 FROM planted),
+s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t1, '{i4}')) AS n_ipv4,
+              regexp_replace(t1, '{i4}', '<IPV4>', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4, len(regexp_extract_all(t2, '{ph}')) AS n_phone,
+              regexp_replace(t2, '{ph}', '<PHONE>', 'g') AS text FROM s2)
+SELECT doc_id, text, n_email, n_ipv4, n_phone FROM s3
+"""
+
+
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level duplicate-line removal
+    (`operators/linedup.py`): docs re-chunked into 6-word pseudo-lines
+    (the corpus has no natural line breaks), then every line occurrence
+    except the corpus-wide first (doc_id, pos) is dropped and docs are
+    reassembled. The skew-load-bearing winner reduction is a PARTIAL
+    aggregation (map-side combine), never a window sort. The oracle
+    recomputes chunking + first-occurrence + reassembly declaratively in
+    DuckDB (row_number over the total (doc_id, pos) order)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", chunk_words_as_lines("text", 6).alias("text")
+    )
+    return remove_duplicate_lines(docs, "doc_id").select(
+        "doc_id", "text", "n_lines_kept", "n_lines_dropped"
+    )
+
+
+_LINE_DEDUP_ORACLE = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+ch AS (SELECT doc_id,
+         [array_to_string(tk[1+j*6 : (j+1)*6], ' ') FOR j IN range(0, (len(tk)+5)//6)] AS lines
+       FROM t),
+ln AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+         SELECT doc_id,
+                unnest([{'pos': i, 'line': lines[i]} FOR i IN range(1, len(lines)+1)]) AS u
+         FROM ch)),
+rk AS (SELECT doc_id, pos, line,
+              row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM ln),
+kept AS (SELECT doc_id, pos, line FROM rk WHERE length(line) < 1 OR rn = 1),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+               count(*) AS n_lines_kept FROM kept GROUP BY doc_id)
+SELECT c.doc_id, coalesce(a.text, '') AS text,
+       coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+       len(c.lines) - coalesce(a.n_lines_kept, 0) AS n_lines_dropped
+FROM ch c LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def metadata_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT/MIN/MAX (`lake/metaquery.py`) — the Snowflake
+    micro-partition-metadata answer path the reference gets for free
+    (SampleCrud.scala count() round-trips): orders land in a lake table,
+    a copy-on-write DELETE rewrites some files (stats refresh with the
+    rewrite), and the three classic aggregates fold from the snapshot
+    manifest in O(live files) with ZERO data I/O. The entry FAILS if the
+    metadata path was not actually provable (None = would have scanned)."""
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="metaagg_")
+    t = LakeTable.create(
+        spark, root, orders.schema, key_cols=["o_orderkey"], num_buckets=8
+    )
+    t.append(orders)
+    lake_delete(t, F.col("o_orderkey") % 97 == 0, mode="cow")
+    r = metadata_aggregate(
+        t, min_of=["o_orderkey", "o_totalprice"], max_of=["o_orderkey", "o_totalprice"]
+    )
+    if r is None:
+        raise AssertionError("metadata_aggregate fell back to scan after COW delete")
+    return spark.createDataFrame(
+        [
+            (
+                r["count"],
+                r["min"]["o_orderkey"],
+                r["max"]["o_orderkey"],
+                r["min"]["o_totalprice"],
+                r["max"]["o_totalprice"],
+            )
+        ],
+        "cnt: long, min_key: long, max_key: long, min_price: double, max_price: double",
+    )
+
+
+_METADATA_AGG_ORACLE = """
+SELECT count(*) AS cnt,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders WHERE NOT (o_orderkey % 97 = 0)
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2352,6 +2527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "pack_shards_docs": pack_shards_docs,
         "mixture_resample_docs": mixture_resample_docs,
+        "repetition_stats_docs": repetition_stats_docs,
+        "redact_pii_docs": redact_pii_docs,
+        "line_dedup_docs": line_dedup_docs,
+        "metadata_agg_orders": metadata_agg_orders,
         "minhash_near_dup_docs": minhash_near_dup_docs,
         "simhash_docs": simhash_docs,
         "cosine_topk_ann": cosine_topk_ann,
@@ -2411,6 +2590,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _decontaminate_oracle(),
         "pack_shards_docs": _PACK_SHARDS_ORACLE,
         "mixture_resample_docs": _mixture_oracle(),
+        "repetition_stats_docs": _REPETITION_ORACLE,
+        "redact_pii_docs": _redact_oracle(),
+        "line_dedup_docs": _LINE_DEDUP_ORACLE,
+        "metadata_agg_orders": _METADATA_AGG_ORACLE,
         # minhash_near_dup_docs / simhash_docs / cosine_topk_ann: xxhash64-
         # bucketed approximations — not SQL-expressible; rows-only check.
     }
