@@ -299,6 +299,20 @@ def main():
 
     bloom_amp = bench_bloom_amplification(spark)
 
+    # round-5 hygiene/metadata ops: timed SEPARATELY (sidecar + extras),
+    # NOT in the headline total, so `value` stays like-for-like comparable
+    # with BENCH_r04
+    new_ops_sec: dict[str, float] = {}
+    for name in (
+        "repetition_stats_docs",
+        "redact_pii_docs",
+        "line_dedup_docs",
+        "metadata_agg_orders",
+    ):
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        new_ops_sec[name] = round(time.time() - t0, 3)
+
     probes.append(host_probe())  # end-of-run sample
     probe_mean = round(sum(probes) / len(probes), 3)
     # Ratio-to-probe normalization (cross-round comparable BY CONSTRUCTION):
@@ -326,6 +340,7 @@ def main():
         "embedding_lsh_pairs": skew["embedding_lsh_pairs"],
         "embedding_bucket_stats": skew["embedding_bucket_stats"],
         "bloom_merge_amplification": bloom_amp,
+        "hygiene_ops_sec_not_in_total": new_ops_sec,
         "host_probe_cold_sec": host_probe_cold_sec,
     }
     sidecar_path = os.path.join(

@@ -545,6 +545,20 @@ class LakeTable:
             *[os.path.join(self.root, d) for d in dv_rel]
         )
 
+    def count_rows(self, version: int | None = None) -> int:
+        """Exact row count, answered from snapshot metadata in O(live
+        files) with zero data I/O when provable (`lake/metaquery.py` —
+        the Snowflake micro-partition count path), else by scan. Pending
+        merge-on-read deletes (DV/equality refs) force the scan."""
+        from techtalk_data_pipeline_snowpark_spark.lake.metaquery import (
+            metadata_aggregate,
+        )
+
+        r = metadata_aggregate(self, version=version)
+        if r is not None:
+            return r["count"]
+        return self.read(version=version).count()
+
     def read_where(self, condition, version: int | None = None) -> DataFrame:
         """Zone-map-pruned scan: files whose min/max stats cannot satisfy
         ``condition`` are dropped driver-side before the parquet read plan
