@@ -2467,6 +2467,90 @@ FROM orders WHERE NOT (o_orderkey % 97 = 0)
 """
 
 
+_PIPE_SALT = "pipe5"
+
+
+def corpus_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed training-data pipeline — the Dolma/C4 hygiene
+    chain run END-TO-END with exact cross-engine parity: (1) Gopher
+    repetition filter drops boilerplate docs, (2) C4-style corpus-level
+    line dedup removes every non-first 6-word pseudo-line occurrence
+    among survivors, (3) deterministic hash split labels train/val/test,
+    (4) the held-out 'test' split decontaminates 'train' by word-4-gram
+    overlap OVER THE DEDUPED TEXT. Every stage is the library operator
+    (`quality`/`linedup`/`sharding`/`decontaminate`); the oracle chains
+    the four declarative equivalents in one DuckDB query, so schema
+    compatibility AND value semantics of the composition are gated, not
+    just each stage in isolation."""
+    docs = _t(spark, sf_dir, "documents")
+    clean = repetition_stats(docs).where(~F.col("repetitive")).select("doc_id", "text")
+    chunked = clean.select("doc_id", chunk_words_as_lines("text", 6).alias("text"))
+    deduped = remove_duplicate_lines(chunked, "doc_id")
+    # barrier: the contamination probe references the labelled corpus three
+    # times (train grams, bench grams, flag join-back) — without it the
+    # whole repetition+line-dedup chain executes three times in one job
+    # (eager localCheckpoint, not persist: no CacheManager entry to leak)
+    labelled = hash_split(deduped, "doc_id", _SPLIT_WEIGHTS, salt=_PIPE_SALT).localCheckpoint(eager=True)
+    train = labelled.where(F.col("split") == "train")
+    bench = labelled.where(F.col("split") == "test")
+    return flag_contaminated(train, bench, "doc_id", "text", n=4).select(
+        "doc_id", "n_lines_kept", "contaminated"
+    )
+
+
+def _corpus_pipeline_oracle() -> str:
+    case = hash_split_oracle_case("CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, _PIPE_SALT)
+    return rf"""
+WITH toks0 AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [array_to_string(t[i:i+1], ' ') FOR i IN range(1, greatest(len(t)-1, 1)+1)] AS g2,
+         [array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t)-2, 1)+1)] AS g3
+  FROM toks0
+),
+c2 AS (SELECT doc_id, max(cnt) AS top2 FROM (
+  SELECT doc_id, gram, count(*) AS cnt FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+  GROUP BY doc_id, gram) GROUP BY doc_id),
+c3 AS (SELECT doc_id, coalesce(sum(cnt) FILTER (cnt >= 2), 0) AS dup3 FROM (
+  SELECT doc_id, gram, count(*) AS cnt FROM (SELECT doc_id, unnest(g3) AS gram FROM g)
+  GROUP BY doc_id, gram) GROUP BY doc_id),
+clean AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN g USING (doc_id) JOIN c2 USING (doc_id) JOIN c3 USING (doc_id)
+  WHERE NOT ((top2 * 5 > len(g2)) OR (dup3 * 2 > len(g3)))
+),
+tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM clean),
+ch AS (SELECT doc_id,
+         [array_to_string(tk[1+j*6 : (j+1)*6], ' ') FOR j IN range(0, (len(tk)+5)//6)] AS lines
+       FROM tk),
+ln AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+         SELECT doc_id,
+                unnest([{{'pos': i, 'line': lines[i]}} FOR i IN range(1, len(lines)+1)]) AS u
+       FROM ch)),
+rk AS (SELECT doc_id, pos, line,
+              row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM ln),
+kept AS (SELECT doc_id, pos, line FROM rk WHERE length(line) < 1 OR rn = 1),
+dedup AS (SELECT c.doc_id,
+                 coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text,
+                 count(k.line) AS n_lines_kept
+          FROM ch c LEFT JOIN kept k USING (doc_id) GROUP BY c.doc_id),
+labelled AS (SELECT doc_id, text, n_lines_kept, {case} AS split FROM dedup),
+sh AS (SELECT doc_id, split,
+              list_distinct([array_to_string(tt[i:i+3], ' ')
+                             FOR i IN range(1, greatest(len(tt)-3, 1)+1)]) AS grams
+       FROM (SELECT doc_id, split, regexp_split_to_array(trim(lower(text)), '\s+') AS tt
+             FROM labelled)),
+bg AS (SELECT DISTINCT gram FROM (SELECT unnest(grams) AS gram FROM sh WHERE split='test')),
+tg AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM sh WHERE split='train'),
+hits AS (SELECT DISTINCT doc_id FROM tg JOIN bg USING (gram))
+SELECT l.doc_id, l.n_lines_kept,
+       l.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+FROM labelled l WHERE l.split = 'train'
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2531,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii_docs": redact_pii_docs,
         "line_dedup_docs": line_dedup_docs,
         "metadata_agg_orders": metadata_agg_orders,
+        "corpus_pipeline_docs": corpus_pipeline_docs,
         "minhash_near_dup_docs": minhash_near_dup_docs,
         "simhash_docs": simhash_docs,
         "cosine_topk_ann": cosine_topk_ann,
@@ -2594,6 +2679,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii_docs": _redact_oracle(),
         "line_dedup_docs": _LINE_DEDUP_ORACLE,
         "metadata_agg_orders": _METADATA_AGG_ORACLE,
+        "corpus_pipeline_docs": _corpus_pipeline_oracle(),
         # minhash_near_dup_docs / simhash_docs / cosine_topk_ann: xxhash64-
         # bucketed approximations — not SQL-expressible; rows-only check.
     }
