@@ -81,6 +81,7 @@ from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
     mixture_resample_oracle,
     pack_shards,
 )
+from techtalk_data_pipeline_snowpark_spark.operators.heavyhitters import frequent_values
 from techtalk_data_pipeline_snowpark_spark.operators.similarity import cosine_topk_ivf
 
 
@@ -2551,6 +2552,39 @@ FROM labelled l WHERE l.split = 'train'
 """
 
 
+def frequent_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the corpus's word 2-grams
+    (`operators/heavyhitters.py`): values occurring in > 0.13% of all
+    gram occurrences, with exact counts. Phase 1 finds candidates
+    MAP-ONLY (per-partition exact value_counts + the pigeonhole: a global
+    heavy hitter is over-threshold in ≥1 partition), phase 2 broadcasts
+    the candidate set into a semi-join so only candidate occurrences
+    cross the exchange — shuffle volume is O(candidates), not O(distinct
+    grams). The oracle is the plain GROUP BY ... HAVING in DuckDB, so the
+    two-phase decomposition is value-checked against the naive plan."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            )
+        ).alias("gram")
+    )
+    return frequent_values(grams, "gram", 0.0013).orderBy("gram")
+
+
+_FREQUENT_TOKENS_ORACLE = r"""
+WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+g AS (SELECT unnest([array_to_string(t[i:i+1], ' ')
+                     FOR i IN range(1, greatest(len(t)-1, 1)+1)]) AS gram FROM t)
+SELECT gram, count(*) AS cnt FROM g
+GROUP BY gram
+HAVING count(*) > 0.0013 * (SELECT count(*) FROM g)
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2616,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": line_dedup_docs,
         "metadata_agg_orders": metadata_agg_orders,
         "corpus_pipeline_docs": corpus_pipeline_docs,
+        "frequent_tokens_docs": frequent_tokens_docs,
         "minhash_near_dup_docs": minhash_near_dup_docs,
         "simhash_docs": simhash_docs,
         "cosine_topk_ann": cosine_topk_ann,
@@ -2680,6 +2715,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_docs": _LINE_DEDUP_ORACLE,
         "metadata_agg_orders": _METADATA_AGG_ORACLE,
         "corpus_pipeline_docs": _corpus_pipeline_oracle(),
+        "frequent_tokens_docs": _FREQUENT_TOKENS_ORACLE,
         # minhash_near_dup_docs / simhash_docs / cosine_topk_ann: xxhash64-
         # bucketed approximations — not SQL-expressible; rows-only check.
     }
