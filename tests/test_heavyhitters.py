@@ -70,13 +70,31 @@ def test_validation(spark):
 
 
 def test_plan_shape(spark):
-    """The exact-count exchange must be candidate-filtered: broadcast
-    left-semi BEFORE the aggregation, and the candidate pass is a
-    map-side Arrow stage (no full groupBy over the raw values)."""
+    """The exact-count exchange must be candidate-filtered (broadcast
+    left-semi before the aggregation), and phase 1 must NOT re-run inside
+    the phase-2 job — candidates were collected eagerly, so the returned
+    plan carries no Python stage at all."""
     vals = _corpus(random.Random(3), 3000)
     df = spark.createDataFrame([(v,) for v in vals], ["w"]).repartition(7)
     out = frequent_values(df, "w", 0.02)
     out.collect()  # AQE finalizes the physical plan
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
+    assert "MapInPandas" not in plan
     assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_nan_float_excluded_like_null(spark):
+    """NaN cannot ride the Arrow candidate channel (pandas NaN -> null),
+    so it is excluded EXPLICITLY, and n shrinks with it — a NaN flood
+    must neither appear as a hitter nor inflate the denominator."""
+    rows = [(float("nan"),)] * 60 + [(1.0,)] * 30 + [(2.0,)] * 10
+    df = spark.createDataFrame(rows, "v: double").repartition(4)
+    got = {r["v"]: r["cnt"] for r in frequent_values(df, "v", 0.5).collect()}
+    assert got == {1.0: 30}  # n = 40 non-NaN; 30 > 20, 10 <= 20
+
+
+def test_no_candidates_returns_empty_with_schema(spark):
+    df = spark.createDataFrame([(f"u{i}",) for i in range(200)], ["w"]).coalesce(1)
+    out = frequent_values(df, "w", 0.5)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["w", "cnt"]
