@@ -2429,7 +2429,7 @@ FROM ch c LEFT JOIN agg a USING (doc_id)
 def metadata_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only COUNT/MIN/MAX (`lake/metaquery.py`) — the Snowflake
     micro-partition-metadata answer path the reference gets for free
-    (SampleCrud.scala count() round-trips): orders land in a lake table,
+    (IngestRatingsFromRawToFlat.scala:71 df.count() round-trips): orders land in a lake table,
     a copy-on-write DELETE rewrites some files (stats refresh with the
     rewrite), and the three classic aggregates fold from the snapshot
     manifest in O(live files) with ZERO data I/O. The entry FAILS if the

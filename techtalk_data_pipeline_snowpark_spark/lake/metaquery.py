@@ -2,9 +2,10 @@
 
 The Snowflake behavior the reference relies on implicitly (a `SELECT
 count(*)` against a Snowflake table answers from micro-partition metadata
-without scanning data — the reference's SampleCrud.scala count() checks
-round-trip in milliseconds for that reason), re-expressed over this repo's
-lake format: every committed file already carries ``rows`` and per-column
+without scanning data — the reference's existence/row-count probes, e.g.
+tt-dps-pipeline-rest/src/main/scala/com/griddynamics/pipeline/
+IngestRatingsFromRawToFlat.scala:71 `df.count()`, round-trip in
+milliseconds for that reason), re-expressed over this repo's lake format: every committed file already carries ``rows`` and per-column
 ``min``/``max``/``nc`` zone-map stats in the snapshot (`lake/stats.py`),
 so the three classic metadata aggregates fold driver-side in O(live files)
 with ZERO data I/O.

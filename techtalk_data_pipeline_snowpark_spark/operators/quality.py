@@ -2,9 +2,10 @@
 PII redaction.
 
 Two pre-training hygiene steps every large-scale text pipeline runs
-(beyond-reference: the pipelines in `/root/reference` stop at per-row
-canonicalization, see reference
-src/main/scala/com/snowflake/techtalk/* row transforms):
+(beyond-reference: the reference pipelines stop at per-row transforms —
+tt-dps-pipeline-rest/src/main/scala/com/griddynamics/pipeline/
+IngestOrdersFromRawToFlat.scala:44-66 is a flatten/cast, never a
+cross-document or intra-document statistical measure):
 
 * **Repetition stats** (Rae et al., Gopher, arXiv:2112.11446 §A1.1):
   per-document duplicate-token / top-2-gram / duplicate-3-gram measures.
