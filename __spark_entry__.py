@@ -2585,6 +2585,123 @@ HAVING count(*) > 0.0013 * (SELECT count(*) FROM g)
 """
 
 
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic synthetic URLs (the testdata text has
+    none): every doc gains ``https://www.<source><doc_id%7>.Example.COM/x``
+    and ``http://cdn.<source>.org/a`` — mixed case + a ``www.`` prefix so
+    the normalization path is exercised, a subdomain so the suffix-chain
+    path is."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://www."),
+            F.col("source"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM/x and http://cdn."),
+            F.col("source"),
+            F.lit(".org/a"),
+        ),
+    )
+
+
+_URL_DOCS_CTE = r"""
+WITH d AS (
+  SELECT doc_id, text || ' see https://www.' || source || CAST(doc_id % 7 AS VARCHAR)
+         || '.Example.COM/x and http://cdn.' || source || '.org/a' AS t
+  FROM documents
+),
+doms AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1),
+    h -> CASE WHEN starts_with(lower(h), 'www.') THEN lower(h)[5:] ELSE lower(h) END
+  ))) AS dom
+  FROM d
+)
+"""
+
+
+def url_domains_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL hygiene step 1 (C4 §2.2): per-doc distinct normalized domains,
+    exploded to (doc_id, domain) rows. Map-only JVM regexp — zero
+    shuffles, zero Python."""
+    from techtalk_data_pipeline_snowpark_spark.operators.urls import extract_domains
+
+    docs = _docs_with_urls(spark, sf_dir)
+    out = extract_domains(docs, "text2", "domains").select(
+        "doc_id", F.explode("domains").alias("domain")
+    )
+    # plan assert: no exchange anywhere — this must stay map-only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError("url_domains_docs must be map-only:\n" + plan)
+    return out
+
+
+_URL_DOMAINS_ORACLE = _URL_DOCS_CTE + "SELECT doc_id, dom AS domain FROM doms"
+
+
+def blocklist_flag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL hygiene step 2: flag docs whose text links to a blocklisted
+    domain, subdomains included (``cdn.src5.org`` hits entry ``src5.org``
+    via the bounded suffix-chain explode, not a prefix-match join). The
+    curated blocklist broadcasts; the hit-id join-back is un-hinted."""
+    from techtalk_data_pipeline_snowpark_spark.operators.urls import (
+        flag_blocklisted_domains,
+    )
+
+    docs = _docs_with_urls(spark, sf_dir)
+    out = flag_blocklisted_domains(
+        docs,
+        "doc_id",
+        ["src5.org", "src11.org", "WWW.Banned.example.com"],
+        text_col="text2",
+        include_subdomains=True,
+    )
+    return out.select("doc_id", "blocklisted")
+
+
+_BLOCKLIST_FLAG_ORACLE = _URL_DOCS_CTE + r""",
+sfx AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(dom, '.'), CAST(s.i AS BIGINT),
+                                    len(string_split(dom, '.'))), '.') AS suffix
+  FROM doms, unnest(generate_series(1, greatest(len(string_split(dom, '.')) - 1, 1))) AS s(i)
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM sfx
+  WHERE suffix IN ('src5.org', 'src11.org', 'banned.example.com')
+)
+SELECT doc.doc_id, (h.doc_id IS NOT NULL) AS blocklisted
+FROM documents doc LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def exact_percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile_disc over o_totalprice without a global sort:
+    distinct-collapse → range-repartition prefix sum (partition-local
+    window + ≤num_partitions-row offset map) → one partial-aggregated
+    min-over-threshold pass. The oracle is the explicit row_number rank
+    definition, so the distributed decomposition is value-checked against
+    the single-node sort."""
+    from techtalk_data_pipeline_snowpark_spark.operators.percentiles import (
+        exact_percentiles,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return exact_percentiles(orders, "o_totalprice", [0.25, 0.5, 0.9, 0.99])
+
+
+_EXACT_PERCENTILES_ORACLE = r"""
+WITH v AS (SELECT o_totalprice AS val FROM orders WHERE o_totalprice IS NOT NULL),
+s AS (SELECT val, row_number() OVER (ORDER BY val) AS rn, count(*) OVER () AS n FROM v)
+SELECT CAST(p AS DOUBLE) AS p, val AS value
+FROM s, (VALUES (0.25), (0.5), (0.9), (0.99)) ps(p)
+WHERE rn = CAST(ceil(p * n) AS BIGINT)
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2651,6 +2768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_agg_orders": metadata_agg_orders,
         "corpus_pipeline_docs": corpus_pipeline_docs,
         "frequent_tokens_docs": frequent_tokens_docs,
+        "url_domains_docs": url_domains_docs,
+        "blocklist_flag_docs": blocklist_flag_docs,
+        "exact_percentiles_orders": exact_percentiles_orders,
         "minhash_near_dup_docs": minhash_near_dup_docs,
         "simhash_docs": simhash_docs,
         "cosine_topk_ann": cosine_topk_ann,
@@ -2716,6 +2836,9 @@ def oracle_sql() -> dict[str, str]:
         "metadata_agg_orders": _METADATA_AGG_ORACLE,
         "corpus_pipeline_docs": _corpus_pipeline_oracle(),
         "frequent_tokens_docs": _FREQUENT_TOKENS_ORACLE,
+        "url_domains_docs": _URL_DOMAINS_ORACLE,
+        "blocklist_flag_docs": _BLOCKLIST_FLAG_ORACLE,
+        "exact_percentiles_orders": _EXACT_PERCENTILES_ORACLE,
         # minhash_near_dup_docs / simhash_docs / cosine_topk_ann: xxhash64-
         # bucketed approximations — not SQL-expressible; rows-only check.
     }
