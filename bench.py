@@ -308,6 +308,9 @@ def main():
         "redact_pii_docs",
         "line_dedup_docs",
         "metadata_agg_orders",
+        "url_domains_docs",
+        "blocklist_flag_docs",
+        "exact_percentiles_orders",
     ):
         t0 = time.time()
         qs[name](spark, sf_dir).count()
