@@ -2702,6 +2702,58 @@ WHERE rn = CAST(ceil(p * n) AS BIGINT)
 """
 
 
+def percentiles_by_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact doc-length percentiles: ONE window + ONE
+    conditional-aggregation pass for all fractions (plan-asserted in
+    tests); the per-group sort costs distinct values per group, never
+    rows per group."""
+    from techtalk_data_pipeline_snowpark_spark.operators.percentiles import (
+        exact_percentiles_by_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_percentiles_by_group(docs, ["lang"], "n_chars", [0.5, 0.9])
+
+
+_PERCENTILES_BY_LANG_ORACLE = r"""
+WITH v AS (SELECT lang, n_chars AS val FROM documents WHERE n_chars IS NOT NULL),
+s AS (SELECT lang, val, row_number() OVER (PARTITION BY lang ORDER BY val) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n FROM v)
+SELECT lang, CAST(p AS DOUBLE) AS p, val AS value
+FROM s, (VALUES (0.5), (0.9)) ps(p)
+WHERE rn = CAST(ceil(p * n) AS BIGINT)
+"""
+
+
+def length_outlier_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-driven outlier filter (the Gopher length gate with
+    data-derived cutoffs): keep docs whose n_chars lies within the exact
+    [p05, p95] band. The band is a 2-row bounded collect from the
+    distributed percentile pass; the filter itself is map-only."""
+    from techtalk_data_pipeline_snowpark_spark.operators.percentiles import (
+        exact_percentiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    band = {
+        r["p"]: r["value"]
+        for r in exact_percentiles(docs, "n_chars", [0.05, 0.95]).collect()
+    }
+    return docs.where(
+        (F.col("n_chars") >= F.lit(band[0.05])) & (F.col("n_chars") <= F.lit(band[0.95]))
+    ).select("doc_id", "n_chars")
+
+
+_LENGTH_OUTLIER_ORACLE = r"""
+WITH v AS (SELECT n_chars AS val FROM documents WHERE n_chars IS NOT NULL),
+s AS (SELECT val, row_number() OVER (ORDER BY val) AS rn, count(*) OVER () AS n FROM v),
+lo AS (SELECT val FROM s WHERE rn = CAST(ceil(0.05 * n) AS BIGINT)),
+hi AS (SELECT val FROM s WHERE rn = CAST(ceil(0.95 * n) AS BIGINT))
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT val FROM lo) AND n_chars <= (SELECT val FROM hi)
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2771,6 +2823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domains_docs": url_domains_docs,
         "blocklist_flag_docs": blocklist_flag_docs,
         "exact_percentiles_orders": exact_percentiles_orders,
+        "percentiles_by_lang_docs": percentiles_by_lang_docs,
+        "length_outlier_filter_docs": length_outlier_filter_docs,
         "minhash_near_dup_docs": minhash_near_dup_docs,
         "simhash_docs": simhash_docs,
         "cosine_topk_ann": cosine_topk_ann,
@@ -2839,6 +2893,8 @@ def oracle_sql() -> dict[str, str]:
         "url_domains_docs": _URL_DOMAINS_ORACLE,
         "blocklist_flag_docs": _BLOCKLIST_FLAG_ORACLE,
         "exact_percentiles_orders": _EXACT_PERCENTILES_ORACLE,
+        "percentiles_by_lang_docs": _PERCENTILES_BY_LANG_ORACLE,
+        "length_outlier_filter_docs": _LENGTH_OUTLIER_ORACLE,
         # minhash_near_dup_docs / simhash_docs / cosine_topk_ann: xxhash64-
         # bucketed approximations — not SQL-expressible; rows-only check.
     }

@@ -40,7 +40,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["exact_percentiles"]
+__all__ = ["exact_percentiles", "exact_percentiles_by_group"]
 
 
 def exact_percentiles(
@@ -130,3 +130,75 @@ def exact_percentiles(
     for nxt in parts[1:]:
         out = out.unionAll(nxt)
     return out
+
+
+def exact_percentiles_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    fractions: Sequence[float],
+) -> DataFrame:
+    """Exact discrete percentiles of ``value_col`` PER GROUP (one row per
+    group × fraction; groups whose values are all null are absent).
+
+    Scale shape differs from the global case: the per-group window is
+    already parallel across groups, and after the distinct-value collapse
+    it sorts **distinct values per group** — bounded by value cardinality,
+    not row count — so the global prefix-sum machinery isn't needed. One
+    shuffle on the group key carries (group, distinct value, count) rows;
+    the hottest group costs O(its distinct values log same), never O(its
+    rows). All fractions ride one pass as conditional aggregates.
+    """
+    fr = [float(p) for p in fractions]
+    if not fr:
+        raise ValueError("fractions must be non-empty")
+    for p in fr:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"fractions must be in (0, 1], got {p}")
+    gcols = [F.col(c) for c in group_cols]
+    vals = df.select(*gcols, F.col(value_col).alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    if isinstance(vals.schema["__v"].dataType, (T.FloatType, T.DoubleType)):
+        vals = vals.withColumn(
+            "__v",
+            F.when(
+                F.isnan("__v"),
+                F.raise_error(F.lit("exact_percentiles: NaN in " + value_col)),
+            ).otherwise(F.col("__v")),
+        )
+    counts = vals.groupBy(*group_cols, "__v").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    ranked = counts.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(wall)
+    )
+    # per fraction: the first distinct value whose inclusive cum ≥ ceil(p·n);
+    # ALL fractions as conditional aggregates of ONE pass over the windowed
+    # rows (partial-aggregated), then a per-group-row unpivot (cheap: one
+    # row per group by then)
+    agged = ranked.groupBy(*group_cols).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.ceil(F.lit(p) * F.col("__n")), F.col("__v")
+                )
+            ).alias(f"__q{i}")
+            for i, p in enumerate(fr)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("double").alias("p"), F.col(f"__q{i}").alias("value")
+            )
+            for i, p in enumerate(fr)
+        ]
+    )
+    return agged.select(*group_cols, F.explode(pairs).alias("__pv")).select(
+        *group_cols, F.col("__pv.p").alias("p"), F.col("__pv.value").alias("value")
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from techtalk_data_pipeline_snowpark_spark.operators.percentiles import (
     exact_percentiles,
+    exact_percentiles_by_group,
 )
 
 
@@ -63,6 +64,49 @@ def test_nan_rejected_loudly(spark):
     df = spark.createDataFrame([(1.0,), (float("nan"),)], "x: double")
     with pytest.raises(Exception, match="NaN"):
         exact_percentiles(df, "x", [0.5]).collect()
+
+
+def test_by_group_matches_rank_definition(spark):
+    rng = random.Random(21)
+    rows = [
+        (f"g{rng.randint(0, 4)}", rng.randint(0, 30)) for _ in range(3000)
+    ] + [("g0", None), ("gnull", None)]
+    df = spark.createDataFrame(rows, ["g", "x"]).repartition(9)
+    fr = [0.25, 0.5, 0.99, 1.0]
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in exact_percentiles_by_group(df, ["g"], "x", fr).collect()
+    }
+    by_g = {}
+    for g, x in rows:
+        if x is not None:
+            by_g.setdefault(g, []).append(x)
+    want = {
+        (g, float(p)): _disc(sorted(vs), p) for g, vs in by_g.items() for p in fr
+    }
+    assert got == want  # gnull (all-null group) absent from both
+
+
+def test_by_group_single_window_pass(spark):
+    """All fractions must share ONE window + ONE aggregation — no
+    per-fraction re-execution (no Union of repeated windows)."""
+    df = spark.createDataFrame([("a", i) for i in range(50)], ["g", "x"])
+    out = exact_percentiles_by_group(df, ["g"], "x", [0.1, 0.5, 0.9])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    # exactly two Window nodes (running cum + group total) sharing one
+    # partitioning, REGARDLESS of how many fractions were asked for
+    assert plan.count("Window") == 2
+    out5 = exact_percentiles_by_group(df, ["g"], "x", [0.1, 0.3, 0.5, 0.7, 0.9])
+    assert out5._jdf.queryExecution().executedPlan().toString().count("Window") == 2
+
+
+def test_by_group_validation(spark):
+    df = spark.createDataFrame([("a", 1)], ["g", "x"])
+    with pytest.raises(ValueError):
+        exact_percentiles_by_group(df, ["g"], "x", [])
+    with pytest.raises(ValueError):
+        exact_percentiles_by_group(df, ["g"], "x", [2.0])
 
 
 def test_no_global_sort_partition(spark):
