@@ -53,7 +53,9 @@ from techtalk_data_pipeline_snowpark_spark.operators.components import (
 from techtalk_data_pipeline_snowpark_spark.operators.dedup import (
     blocked_jaccard_near_dups,
     cosine,
+    dedup_ingest,
     exact_dedup,
+    jaccard_against_corpus,
     minhash_near_dups,
     simhash64,
 )
@@ -2754,6 +2756,154 @@ WHERE n_chars >= (SELECT val FROM lo) AND n_chars <= (SELECT val FROM hi)
 """
 
 
+def ingest_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest (`operators/dedup.py dedup_ingest`): a corpus
+    arriving in three batches, each applied as an insert-only MERGE keyed
+    on sha256(text) into a lake table — only corpus-NEW content is ever
+    admitted, so per-batch cost is O(batch), never O(corpus). Duplicates
+    are planted (every doc_id % 7 == 0 document re-arrives under id+1000),
+    and batch = doc_id % 3, so for 24 contents the COPY lands in an
+    earlier batch than the original and must win. The oracle is the
+    declarative argmin-(batch, id) rank over the same stream, checking the
+    whole multi-batch merge lifecycle against first-seen-wins SQL
+    semantics."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    stream = docs.unionByName(dups).withColumn("batch", F.col("doc_id") % 3)
+    root = tempfile.mkdtemp(prefix="dedup_ingest_")
+    schema = T.StructType(
+        [
+            T.StructField("content_hash", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("batch", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        key_cols=["content_hash"], num_buckets=8,
+    )
+    for b in range(3):
+        dedup_ingest(t, stream.where(F.col("batch") == b), "text", "doc_id")
+    return t.read().select("content_hash", "doc_id", "batch")
+
+
+_INGEST_DEDUP_ORACLE = """
+WITH stream AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+b AS (SELECT doc_id, doc_id % 3 AS batch, sha256(text) AS content_hash FROM stream),
+r AS (SELECT *, row_number() OVER (PARTITION BY content_hash
+                                   ORDER BY batch, doc_id) AS rn FROM b)
+SELECT content_hash, doc_id, batch FROM r WHERE rn = 1
+"""
+
+
+def incremental_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (`operators/dedup.py jaccard_against_corpus`):
+    a new batch (doc_id % 4 == 0) checked against the existing corpus by
+    exact blocked n-gram Jaccard, new→corpus pairs only — the daily-delta
+    shape where corpus-vs-corpus pairs are never regenerated. Block cap on
+    the corpus side bounds work per new doc; with a small delta AQE
+    broadcasts the new side. Exact oracle: the identical blocking, cap,
+    shingling, and Jaccard restated declaratively."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    return jaccard_against_corpus(new, corpus, "doc_id", "text", 0.4)
+
+
+_INCREMENTAL_JACCARD_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         array_to_string(toks[1:2], ' ') AS blk,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS sh
+  FROM t
+),
+new AS (SELECT * FROM s WHERE doc_id % 4 = 0),
+corpus AS (SELECT * FROM s WHERE doc_id % 4 <> 0),
+capped AS (
+  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY blk) AS _bs FROM corpus)
+  WHERE _bs <= 64
+)
+SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+       round(CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.sh, c.sh))), 6) AS jaccard
+FROM new n JOIN capped c ON n.blk = c.blk AND n.doc_id <> c.doc_id
+WHERE CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(n.sh, c.sh))) >= 0.4
+"""
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language inspection quota (`operators/sharding.py
+    stratified_sample`): exactly min(25, |lang|) docs per language, the 25
+    smallest md5(id‖salt) — a pure function of ids, stable across runs and
+    cluster sizes. Two-stage exact top-k: the shuffle carries ≤ k rows per
+    (group, partition), never the hottest group on one task. The oracle is
+    the rank-by-hash definition itself."""
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, ["lang"], "doc_id", 25, salt="r5")
+
+
+_STRATIFIED_SAMPLE_ORACLE = """
+SELECT lang, doc_id, sample_rank FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'r5'), doc_id
+         ) AS BIGINT) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 25
+"""
+
+
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style vocabulary coverage (`operators/vocab.py`): the corpus's
+    top-500 tokens (rank cut by the total order count desc, token asc —
+    TakeOrdered, no global sort) broadcast back as a left-semi join to
+    score every document by in-vocabulary occurrence fraction. Counts are
+    integers and coverage is ONE double division, so the result is
+    hash-exact across engines."""
+    from techtalk_data_pipeline_snowpark_spark.operators.vocab import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "doc_id", "text", 500)
+
+
+_VOCAB_COVERAGE_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+occ AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+vc AS (SELECT token, count(*) AS c FROM occ GROUP BY token),
+vocab AS (SELECT token FROM vc ORDER BY c DESC, token LIMIT 500),
+inv AS (SELECT doc_id, count(*) AS iv FROM occ JOIN vocab USING (token) GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(iv, 0) AS BIGINT) AS in_vocab_tokens,
+       CASE WHEN len(toks) > 0
+            THEN CAST(coalesce(iv, 0) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       END AS coverage
+FROM tk t LEFT JOIN inv USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2798,6 +2948,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloud_event_ingest_orders": cloud_event_ingest_orders,
         "employee_industry_join": employee_industry_join,
         "exact_dedup_docs": exact_dedup_docs,
+        "ingest_dedup_docs": ingest_dedup_docs,
+        "incremental_jaccard_docs": incremental_jaccard_docs,
+        "stratified_sample_docs": stratified_sample_docs,
+        "vocab_coverage_docs": vocab_coverage_docs,
         "token_stats_docs": token_stats_docs,
         "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
@@ -2868,6 +3022,10 @@ def oracle_sql() -> dict[str, str]:
         "cloud_event_ingest_orders": _CLOUD_INGEST_ORACLE,
         "employee_industry_join": _EMPLOYEE_INDUSTRY_ORACLE,
         "exact_dedup_docs": _EXACT_DEDUP_ORACLE,
+        "ingest_dedup_docs": _INGEST_DEDUP_ORACLE,
+        "incremental_jaccard_docs": _INCREMENTAL_JACCARD_ORACLE,
+        "stratified_sample_docs": _STRATIFIED_SAMPLE_ORACLE,
+        "vocab_coverage_docs": _VOCAB_COVERAGE_ORACLE,
         "token_stats_docs": _TOKEN_STATS_ORACLE,
         "lang_id_docs": _lang_id_oracle(),
         "quality_docs": _QUALITY_ORACLE,

@@ -16,6 +16,8 @@ from .dedup import (
     simhash_bucket_stats,
     exact_dedup,
     exact_dedup_apply,
+    dedup_ingest,
+    jaccard_against_corpus,
     minhash_lsh_candidates,
     blocked_jaccard_near_dups,
     minhash_near_dups,

@@ -44,6 +44,43 @@ def exact_dedup_apply(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(reps, on=id_col, how="inner")
 
 
+def dedup_ingest(table, batch: DataFrame, text_col: str, id_col: str):
+    """Dedup-on-ingest: admit only corpus-NEW content into a deduplicated
+    lake table — the incremental form of ``exact_dedup`` for a corpus that
+    arrives in batches (daily crawl snapshots), where re-scanning the whole
+    accumulated corpus per batch is not an option.
+
+    The batch first collapses to one representative per content hash
+    (min ``id_col`` — within-batch exact dedup, one partial-agg'd shuffle
+    on the uniform digest), then lands as an INSERT-ONLY MERGE keyed on
+    ``content_hash``: hashes already in the table are dropped (the corpus
+    keeps its FIRST-seen representative), new hashes insert. Ingest order
+    therefore defines the winner: argmin (batch_seq, id) — exactly
+    SQL-expressible, so the whole multi-batch lifecycle has an exact
+    oracle.
+
+    ``table`` must be a LakeTable whose key columns are
+    ``["content_hash"]`` and whose schema matches the batch columns plus
+    ``content_hash``. At scale the merge is bucket-pruned on the hash key
+    (uniform — no skew) and file-grain bloom-pruned when the table enables
+    ``lake.bloom.cols``; per-batch cost is O(batch), never O(corpus).
+    Reference: the reference's insert-only ingest merges
+    (IngestOrdersFromRawToFlat.scala:36-98) applied to corpus hygiene.
+    Returns the merge CommitResult."""
+    from ..lake.merge import merge_into
+
+    hashed = batch.withColumn("content_hash", sha256_hex(F.col(text_col)))
+    winners_ids = hashed.groupBy("content_hash").agg(F.min(F.col(id_col)).alias(id_col))
+    winners = hashed.join(winners_ids, ["content_hash", id_col], "inner")
+    return merge_into(
+        table,
+        winners,
+        on=["content_hash"],
+        when_matched_update=None,
+        when_not_matched_insert=True,
+    )
+
+
 # --------------------------------------------------------------- shingles
 
 
@@ -327,6 +364,58 @@ def blocked_jaccard_near_dups(
     verified = ngram_jaccard(df, pairs, id_col, text_col, shingle_k)
     return verified.where(F.col("jaccard") >= threshold).select(
         "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def jaccard_against_corpus(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    shingle_k: int = 3,
+    block_tokens: int = 2,
+    max_block_size: int = 64,
+) -> DataFrame:
+    """One-sided exact near-dup: flag NEW documents whose n-gram Jaccard
+    against ANY existing corpus document reaches ``threshold`` — the
+    incremental counterpart of ``blocked_jaccard_near_dups`` for the
+    daily-delta shape (|new| ≪ |corpus|).
+
+    Candidates come from the same deterministic token-prefix blocking, but
+    the join is new→corpus only: corpus-vs-corpus pairs (the quadratic
+    bulk, already adjudicated when those docs were ingested) are never
+    generated. The block-size cap applies to the CORPUS side, bounding the
+    work per new document at ≤ cap comparisons per block; both the cap and
+    the blocking are plain SQL predicates, so the operator has an exact
+    DuckDB oracle. Each side carries its shingle array through the single
+    block-keyed shuffle — no second join-back. With a small delta, AQE
+    broadcasts the new side and the corpus never shuffles at all.
+
+    Returns (new_id, corpus_id, jaccard) for pairs ≥ threshold. Ids must
+    be disjoint across the two inputs (same-id pairs are excluded
+    defensively)."""
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.concat_ws(" ", F.slice(toks, 1, block_tokens)).alias("_blk"),
+            word_shingles(text_col, shingle_k).alias(f"_sh_{side}"),
+        )
+
+    n = prep(new, "new")
+    c = prep(corpus, "corpus")
+    sizes = c.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bs"))
+    c_capped = c.join(sizes.where(F.col("_bs") <= max_block_size).drop("_bs"), "_blk")
+    pairs = n.join(c_capped, "_blk").where(F.col("new_id") != F.col("corpus_id"))
+    inter = F.size(F.array_intersect("_sh_new", "_sh_corpus")).cast("double")
+    union = F.size(F.array_union("_sh_new", "_sh_corpus")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(0.0)
+    return (
+        pairs.select("new_id", "corpus_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

@@ -30,7 +30,13 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["hash_split", "hash_split_expr", "mixture_resample", "pack_shards"]
+__all__ = [
+    "hash_split",
+    "hash_split_expr",
+    "mixture_resample",
+    "pack_shards",
+    "stratified_sample",
+]
 
 _HEX_WIDTH = 8  # first 8 md5 hex chars = 32 uniform bits; plenty for splits
 
@@ -258,4 +264,58 @@ def shard_manifest(packed: DataFrame, tokens_col: str, shard_col: str = "shard_i
     return packed.groupBy(shard_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, deterministically.
+
+    `mixture_resample` hits a target FRACTION per group; eval sets, manual
+    audits, and per-source inspection quotas need an exact COUNT. The
+    sample is the k ids with the smallest md5(id‖salt) per group — a pure
+    function of (id, group membership, salt): stable across runs, cluster
+    sizes, and row order, re-drawable with a new salt, and exactly
+    expressible as the rank-by-hash definition in ANSI SQL (the oracle).
+
+    A single per-group ``row_number`` window would put every row of the
+    hottest group on one task (the r1 scale hazard), so the sample is the
+    two-stage exact top-k (`operators/similarity.py topk_per_key`'s shape,
+    ascending by hash): stage 1 reduces each input partition to its local
+    k smallest hashes per group map-side — the shuffle carries ≤ k rows
+    per (group, partition) — and stage 2 ranks the ≤ k·P survivors with
+    the per-group window. Returns (group_cols…, id_col, sample_rank) with
+    sample_rank 1..min(k, |group|)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    hashed = df.select(*group_cols, F.col(id_col), h.alias("__h"))
+    local = hashed.groupBy(*group_cols, F.spark_partition_id().alias("__p")).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__h"), F.col(id_col).alias("__id")))
+            ),
+            1,
+            k,
+        ).alias("__top")
+    )
+    cand = local.select(*group_cols, F.explode("__top").alias("__t")).select(
+        *group_cols,
+        F.col("__t.__id").alias(id_col),
+        F.col("__t.__h").alias("__h"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+        .select(*group_cols, id_col, "sample_rank")
     )

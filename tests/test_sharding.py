@@ -187,3 +187,74 @@ def test_mixture_negative_weight_rejected(spark):
 
     with pytest.raises(ValueError):
         mixture_resample(_langs(spark, 10), "lang", {"en": -0.5}, "doc_id")
+
+
+# ------------------------------------------------------ stratified_sample
+
+def _brute_sample(n, k, salt=""):
+    import hashlib
+
+    by_lang = {}
+    for i in range(n):
+        lang = ["en", "zh", "fr"][i % 3]
+        by_lang.setdefault(lang, []).append(
+            (hashlib.md5((str(i) + salt).encode()).hexdigest(), i)
+        )
+    out = {}
+    for lang, rows in by_lang.items():
+        for rank, (_, i) in enumerate(sorted(rows)[:k], start=1):
+            out[(lang, i)] = rank
+    return out
+
+
+def test_stratified_sample_rank_by_hash_parity(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import stratified_sample
+
+    got = {
+        (r["lang"], r["doc_id"]): r["sample_rank"]
+        for r in stratified_sample(_langs(spark, 300), ["lang"], "doc_id", 7).collect()
+    }
+    assert got == _brute_sample(300, 7)
+
+
+def test_stratified_sample_exact_quota_and_small_groups(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import stratified_sample
+
+    # fr has only 3 members at n=9: quota is min(k, |group|)
+    out = stratified_sample(_langs(spark, 9), ["lang"], "doc_id", 5)
+    counts = {r["lang"]: r["c"] for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"en": 3, "zh": 3, "fr": 3}
+    big = stratified_sample(_langs(spark, 3000), ["lang"], "doc_id", 5)
+    counts = {r["lang"]: r["c"] for r in big.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"en": 5, "zh": 5, "fr": 5}
+
+
+def test_stratified_sample_partitioning_invariant(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import stratified_sample
+
+    base = _langs(spark, 500)
+    a = stratified_sample(base, ["lang"], "doc_id", 9)
+    b = stratified_sample(base.repartition(13).orderBy(F.desc("doc_id")), ["lang"], "doc_id", 9)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stratified_sample_salt_redraws(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import stratified_sample
+
+    a = {r["doc_id"] for r in stratified_sample(_langs(spark, 600), ["lang"], "doc_id", 10, salt="s1").collect()}
+    b = {r["doc_id"] for r in stratified_sample(_langs(spark, 600), ["lang"], "doc_id", 10, salt="s2").collect()}
+    assert a != b
+
+
+def test_stratified_sample_two_stage_plan_and_validation(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import stratified_sample
+
+    out = stratified_sample(_langs(spark, 300).repartition(8), ["lang"], "doc_id", 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # stage 1 (map-local per-partition top-k via collect_list) must be
+    # present so the exchange carries <= k rows per (group, partition)
+    assert "collect_list" in plan
+    with pytest.raises(ValueError):
+        stratified_sample(_langs(spark, 10), ["lang"], "doc_id", 0)
+    with pytest.raises(ValueError):
+        stratified_sample(_langs(spark, 10), [], "doc_id", 3)
