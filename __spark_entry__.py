@@ -2279,6 +2279,50 @@ FROM toks
 """
 
 
+_SEQ_LEN = 4096
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (`operators/sharding.py pack_sequences`):
+    documents laid end to end in doc_id order, the token stream cut into
+    fixed 4096-token windows — every doc gets its (seq_id, seq_offset,
+    n_seqs spanned) deterministically. Same distributed two-phase prefix
+    sum as pack_shards; the chunk arithmetic is pure integers, checked
+    against the textbook global-window definition in DuckDB."""
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "tokens", _SEQ_LEN)
+    return packed.select("doc_id", "tokens", "seq_id", "seq_offset", "n_seqs")
+
+
+_PACK_SEQUENCES_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, tokens,
+         CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+  FROM t
+)
+SELECT doc_id, tokens,
+       pre // {_SEQ_LEN} AS seq_id,
+       pre % {_SEQ_LEN} AS seq_offset,
+       CASE WHEN tokens > 0
+            THEN (pre + tokens - 1) // {_SEQ_LEN} - pre // {_SEQ_LEN} + 1
+            ELSE 0 END AS n_seqs
+FROM p
+"""
+
+
 # ------------------------------------- non-SQL-expressible (rows-only)
 
 def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2967,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_docs": hash_split_docs,
         "decontaminate_docs": decontaminate_docs,
         "pack_shards_docs": pack_shards_docs,
+        "pack_sequences_docs": pack_sequences_docs,
         "mixture_resample_docs": mixture_resample_docs,
         "repetition_stats_docs": repetition_stats_docs,
         "redact_pii_docs": redact_pii_docs,
@@ -3041,6 +3086,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split_docs": _hash_split_oracle(),
         "decontaminate_docs": _decontaminate_oracle(),
         "pack_shards_docs": _PACK_SHARDS_ORACLE,
+        "pack_sequences_docs": _PACK_SEQUENCES_ORACLE,
         "mixture_resample_docs": _mixture_oracle(),
         "repetition_stats_docs": _REPETITION_ORACLE,
         "redact_pii_docs": _redact_oracle(),

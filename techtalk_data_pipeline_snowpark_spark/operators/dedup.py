@@ -61,7 +61,11 @@ def dedup_ingest(table, batch: DataFrame, text_col: str, id_col: str):
 
     ``table`` must be a LakeTable whose key columns are
     ``["content_hash"]`` and whose schema matches the batch columns plus
-    ``content_hash``. At scale the merge is bucket-pruned on the hash key
+    ``content_hash``; ``id_col`` must be unique within the batch (the
+    usual document-id contract — a repeated (id, hash) pair would make
+    the winner set key-duplicated, so the merge runs with
+    ``validate_unique_keys=True`` and raises loudly instead of inserting
+    a duplicate key). At scale the merge is bucket-pruned on the hash key
     (uniform — no skew) and file-grain bloom-pruned when the table enables
     ``lake.bloom.cols``; per-batch cost is O(batch), never O(corpus).
     Reference: the reference's insert-only ingest merges
@@ -78,6 +82,7 @@ def dedup_ingest(table, batch: DataFrame, text_col: str, id_col: str):
         on=["content_hash"],
         when_matched_update=None,
         when_not_matched_insert=True,
+        validate_unique_keys=True,
     )
 
 

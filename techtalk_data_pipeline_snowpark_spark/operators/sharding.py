@@ -34,6 +34,7 @@ __all__ = [
     "hash_split",
     "hash_split_expr",
     "mixture_resample",
+    "pack_sequences",
     "pack_shards",
     "stratified_sample",
 ]
@@ -139,6 +140,19 @@ def pack_shards(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    prefixed = _with_exclusive_prefix(df, id_col, tokens_col, num_partitions)
+    return prefixed.withColumn(
+        shard_col,
+        F.floor(F.col("__prefix") / F.lit(int(budget))).cast("long"),
+    ).drop("__prefix")
+
+
+def _with_exclusive_prefix(
+    df: DataFrame, id_col: str, tokens_col: str, num_partitions: int | None
+) -> DataFrame:
+    """df + ``__prefix`` = exclusive global prefix sum of ``tokens_col``
+    over rows ordered by ``id_col`` — the distributed two-phase decomposition
+    shared by pack_shards and pack_sequences (see pack_shards docstring)."""
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     n = int(n)
     # Eager localCheckpoint (not persist): pins the sampled range boundaries
@@ -175,10 +189,46 @@ def pack_shards(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local_prefix = F.coalesce(F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0))
-    return ranged.withColumn(
-        shard_col,
-        F.floor((off_expr + local_prefix) / F.lit(int(budget))).cast("long"),
-    ).drop("__pid")
+    return ranged.withColumn("__prefix", off_expr + local_prefix).drop("__pid")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay all documents end to end in
+    ``id_col`` order and cut the token stream into fixed ``seq_len``
+    windows — the GPT-style pre-training packing step. Every document gets
+    its deterministic position: ``seq_id`` (the window holding its first
+    token), ``seq_offset`` (position within that window), and ``n_seqs``
+    (how many windows its tokens span — the boundary-crossing docs an
+    attention-mask builder needs to know about; 0 for token-less docs).
+
+    Same distributed two-phase prefix sum as `pack_shards` (one range
+    shuffle, partition-local windows, ≤num_partitions-row collect — never
+    a global sort partition); the chunk arithmetic is pure integer
+    expressions, so the operator has an exact SQL oracle."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    prefixed = _with_exclusive_prefix(df, id_col, tokens_col, num_partitions)
+    pre = F.col("__prefix")
+    toks = F.col(tokens_col).cast("long")
+    ln = F.lit(int(seq_len))
+    seq_id = F.floor(pre / ln).cast("long")
+    return (
+        prefixed.withColumn("seq_id", seq_id)
+        .withColumn("seq_offset", (pre % ln).cast("long"))
+        .withColumn(
+            "n_seqs",
+            F.when(
+                toks > 0, F.floor((pre + toks - 1) / ln).cast("long") - seq_id + 1
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .drop("__prefix")
+    )
 
 
 def _frac_hex(frac: float) -> str:

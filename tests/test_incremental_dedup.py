@@ -79,6 +79,23 @@ def test_dedup_ingest_idempotent_redelivery(spark, tmp_table_root):
     assert after == before  # insert-only on hash: exact no-op
 
 
+def test_dedup_ingest_duplicate_id_raises(spark, tmp_table_root):
+    import pytest
+
+    t = LakeTable.create(
+        spark, tmp_table_root, SCHEMA, key_cols=["content_hash"], num_buckets=4
+    )
+    # a repeated (id, content) pair violates the id-uniqueness contract:
+    # the winner set would carry the key twice — must raise, not insert
+    batch = spark.createDataFrame(
+        [(1, 0, "same text"), (1, 0, "same text")],
+        "doc_id long, batch long, text string",
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        dedup_ingest(t, batch, "text", "doc_id")
+    assert t.read().count() == 0  # nothing committed
+
+
 def test_dedup_ingest_within_batch_min_id_wins(spark, tmp_table_root):
     t = LakeTable.create(
         spark, tmp_table_root, SCHEMA, key_cols=["content_hash"], num_buckets=4

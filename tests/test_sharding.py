@@ -258,3 +258,68 @@ def test_stratified_sample_two_stage_plan_and_validation(spark):
         stratified_sample(_langs(spark, 10), ["lang"], "doc_id", 0)
     with pytest.raises(ValueError):
         stratified_sample(_langs(spark, 10), [], "doc_id", 3)
+
+
+# -------------------------------------------------------- pack_sequences
+
+def _brute_sequences(rows, L):
+    """rows: [(id, tokens)] — concat-then-chunk positions in id order."""
+    out = {}
+    pre = 0
+    for i, tok in sorted(rows):
+        seq = pre // L
+        off = pre % L
+        n = (pre + tok - 1) // L - seq + 1 if tok > 0 else 0
+        out[i] = (seq, off, n)
+        pre += tok
+    return out
+
+
+def test_pack_sequences_brute_parity_scrambled_partitions(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import pack_sequences
+
+    rows = [(i, (i * 37) % 190 + (0 if i % 11 == 0 else 13)) for i in range(500)]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, tokens long")
+        .repartition(13)
+        .orderBy(F.desc("doc_id"))
+    )
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["n_seqs"])
+        for r in pack_sequences(df, "doc_id", "tokens", 256).collect()
+    }
+    assert got == _brute_sequences(rows, 256)
+
+
+def test_pack_sequences_boundary_and_zero_token_docs(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import pack_sequences
+
+    # doc 0 fills seq 0 exactly; doc 1 has zero tokens AT a boundary;
+    # doc 2 spans three sequences
+    rows = [(0, 128), (1, 0), (2, 300), (3, 5)]
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["n_seqs"])
+        for r in pack_sequences(
+            spark.createDataFrame(rows, "doc_id long, tokens long"),
+            "doc_id", "tokens", 128,
+        ).collect()
+    }
+    assert got == {
+        0: (0, 0, 1),
+        1: (1, 0, 0),   # zero-token doc: position defined, spans nothing
+        2: (1, 0, 3),   # 300 tokens from a boundary: seqs 1,2,3
+        3: (3, 44, 1),  # 300 % 128 = 44 into seq 3
+    }
+
+
+def test_pack_sequences_no_single_partition_plan_and_validation(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import pack_sequences
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("tokens")
+    ).repartition(8)
+    out = pack_sequences(df, "doc_id", "tokens", 64, num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan  # every window partition-local
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "tokens", 0)
