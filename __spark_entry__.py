@@ -2805,15 +2805,17 @@ def ingest_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arriving in three batches, each applied as an insert-only MERGE keyed
     on sha256(text) into a lake table — only corpus-NEW content is ever
     admitted, so per-batch cost is O(batch), never O(corpus). Duplicates
-    are planted (every doc_id % 7 == 0 document re-arrives under id+1000),
-    and batch = doc_id % 3, so for 24 contents the COPY lands in an
-    earlier batch than the original and must win. The oracle is the
+    are planted (every doc_id % 7 == 0 document re-arrives under
+    id+1_000_000 — an offset beyond any real doc_id at every SF, so a
+    planted id can never collide with a genuine document's), and batch =
+    doc_id % 3, so for a third of the planted contents the COPY lands in
+    an earlier batch than the original and must win. The oracle is the
     declarative argmin-(batch, id) rank over the same stream, checking the
     whole multi-batch merge lifecycle against first-seen-wins SQL
     semantics."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dups = docs.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     stream = docs.unionByName(dups).withColumn("batch", F.col("doc_id") % 3)
     root = tempfile.mkdtemp(prefix="dedup_ingest_")
@@ -2838,7 +2840,7 @@ _INGEST_DEDUP_ORACLE = """
 WITH stream AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
 ),
 b AS (SELECT doc_id, doc_id % 3 AS batch, sha256(text) AS content_hash FROM stream),
 r AS (SELECT *, row_number() OVER (PARTITION BY content_hash
@@ -2864,7 +2866,7 @@ def incremental_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCREMENTAL_JACCARD_ORACLE = r"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-  FROM documents
+  FROM documents WHERE trim(text) <> ''
 ), s AS (
   SELECT doc_id,
          array_to_string(toks[1:2], ' ') AS blk,

@@ -73,9 +73,22 @@ def dedup_ingest(table, batch: DataFrame, text_col: str, id_col: str):
     Returns the merge CommitResult."""
     from ..lake.merge import merge_into
 
-    hashed = batch.withColumn("content_hash", sha256_hex(F.col(text_col)))
+    # NULL text hashes as the empty string (the sha256_hex_pandas
+    # convention): a NULL content_hash would be silently dropped by the
+    # winner join AND would violate the lake's non-null merge-key
+    # convention — empty-fetch documents dedup together instead of
+    # vanishing.
+    hashed = batch.withColumn(
+        "content_hash", sha256_hex(F.coalesce(F.col(text_col), F.lit("")))
+    )
     winners_ids = hashed.groupBy("content_hash").agg(F.min(F.col(id_col)).alias(id_col))
-    winners = hashed.join(winners_ids, ["content_hash", id_col], "inner")
+    # eager localCheckpoint: the winner plan (batch scan + groupBy + join)
+    # is consumed THREE times downstream (uniqueness validation, touched-
+    # bucket discovery, the merge join itself) — pin it so the batch is
+    # scanned once, not three times
+    winners = hashed.join(winners_ids, ["content_hash", id_col], "inner").localCheckpoint(
+        eager=True
+    )
     return merge_into(
         table,
         winners,
@@ -399,11 +412,14 @@ def jaccard_against_corpus(
 
     Returns (new_id, corpus_id, jaccard) for pairs ≥ threshold. Ids must
     be disjoint across the two inputs (same-id pairs are excluded
-    defensively)."""
+    defensively). Empty/whitespace-only/NULL documents are excluded from
+    BOTH sides: their shingle set degenerates to [""], which would flood
+    the output by pairing every empty new doc with every empty corpus doc
+    at jaccard 1.0 — empties are exact-dedup's job, not near-dup's."""
 
     def prep(df: DataFrame, side: str) -> DataFrame:
         toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        return df.select(
+        return df.where(F.trim(F.col(text_col)) != "").select(
             F.col(id_col).alias(f"{side}_id"),
             F.concat_ws(" ", F.slice(toks, 1, block_tokens)).alias("_blk"),
             word_shingles(text_col, shingle_k).alias(f"_sh_{side}"),

@@ -334,38 +334,50 @@ def stratified_sample(
     expressible as the rank-by-hash definition in ANSI SQL (the oracle).
 
     A single per-group ``row_number`` window would put every row of the
-    hottest group on one task (the r1 scale hazard), so the sample is the
-    two-stage exact top-k (`operators/similarity.py topk_per_key`'s shape,
-    ascending by hash): stage 1 reduces each input partition to its local
-    k smallest hashes per group map-side — the shuffle carries ≤ k rows
-    per (group, partition) — and stage 2 ranks the ≤ k·P survivors with
-    the per-group window. Returns (group_cols…, id_col, sample_rank) with
-    sample_rank 1..min(k, |group|)."""
+    hottest group on one task (the r1 scale hazard), so the sample is a
+    genuine two-stage exact top-k, ascending by hash: stage 1 is a
+    MAP-SIDE ``mapInPandas`` pass (the `heavyhitters.py` phase-1 idiom)
+    that reduces each input partition to its local k smallest hashes per
+    group BEFORE any exchange — a JVM ``collect_list`` aggregate could
+    not do this, because its partial buffers must ship every row for the
+    final sort+slice — so the one shuffle carries ≤ k rows per
+    (group, partition); stage 2 ranks the ≤ k·P survivors with the
+    per-group window. Single-partition inputs skip stage 1 (the window
+    alone is already safe there). Returns (group_cols…, id_col,
+    sample_rank) with sample_rank 1..min(k, |group|)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     hashed = df.select(*group_cols, F.col(id_col), h.alias("__h"))
-    local = hashed.groupBy(*group_cols, F.spark_partition_id().alias("__p")).agg(
-        F.slice(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("__h"), F.col(id_col).alias("__id")))
-            ),
-            1,
-            k,
-        ).alias("__top")
-    )
-    cand = local.select(*group_cols, F.explode("__top").alias("__t")).select(
-        *group_cols,
-        F.col("__t.__id").alias(id_col),
-        F.col("__t.__h").alias("__h"),
-    )
+    try:
+        nparts = hashed.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — conversion quirks never break sampling
+        nparts = None
+    gcols = list(group_cols)
+    sort_cols = ["__h", id_col]
+    if nparts != 1:
+
+        def local_topk(batches):
+            import pandas as pd
+
+            best = None
+            for pdf in batches:
+                cur = pd.concat([best, pdf]) if best is not None else pdf
+                # mergesort: stable, and (__h, id) is a total order anyway
+                cur = cur.sort_values(sort_cols, kind="mergesort")
+                # bounded state: ≤ k rows per group survive each batch
+                best = cur.groupby(gcols, dropna=False, sort=False).head(k)
+            if best is not None and len(best):
+                yield best
+
+        hashed = hashed.mapInPandas(local_topk, hashed.schema)
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("__h").asc(), F.col(id_col).asc()
     )
     return (
-        cand.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        hashed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= k)
         .select(*group_cols, id_col, "sample_rank")
     )

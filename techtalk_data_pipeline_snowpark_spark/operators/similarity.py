@@ -28,13 +28,18 @@ def topk_per_key(
 ) -> DataFrame:
     """Two-stage exact top-k by (order desc, tiebreak asc) per key.
 
-    Stage 1 reduces each *input partition* to its local top-k per key
-    (groupBy(key, spark_partition_id()) + sorted-slice aggregation — the
-    partial agg is map-local, so the shuffle carries ≤ k rows per
-    (key, partition), never the full scored set). Stage 2 ranks the
-    ≤ k·P survivors with the per-key window. A single-stage window would
-    put ALL N scored rows for one key on one task — with ~20 query keys
-    that is the whole corpus on 20 tasks, the r1 scale hazard.
+    Stage 1 confines each *input partition's* rows per key to ONE
+    aggregation buffer (groupBy(key, spark_partition_id()) + sorted-slice
+    aggregation). Precision note: because the sort+slice can only run in
+    the FINAL aggregate, the partial buffers still ship every scored row
+    across the exchange packed into per-(key, partition) arrays — the
+    win is that no single task ever holds a whole KEY's scored set, not
+    reduced shuffle volume (for a volume-bounded stage 1 see
+    `sharding.py stratified_sample`'s mapInPandas local top-k). Stage 2
+    ranks the ≤ k·P survivors with the per-key window. A single-stage
+    window would put ALL N scored rows for one key on one task — with
+    ~20 query keys that is the whole corpus on 20 tasks, the r1 scale
+    hazard.
 
     Single-partition bypass: when the scored input is ONE partition, the
     per-key window is already safe — every row sits on a single task by

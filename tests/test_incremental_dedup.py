@@ -109,6 +109,22 @@ def test_dedup_ingest_within_batch_min_id_wins(spark, tmp_table_root):
     assert len(rows) == 1 and rows[0]["doc_id"] == 3
 
 
+def test_dedup_ingest_null_text_not_dropped(spark, tmp_table_root):
+    t = LakeTable.create(
+        spark, tmp_table_root, SCHEMA, key_cols=["content_hash"], num_buckets=4
+    )
+    # NULL text must neither vanish nor poison the merge key: it hashes as
+    # the empty string, so NULL and '' docs dedup together (first id wins)
+    batch = spark.createDataFrame(
+        [(5, 0, None), (2, 0, ""), (9, 0, "real text")],
+        "doc_id long, batch long, text string",
+    )
+    dedup_ingest(t, batch, "text", "doc_id")
+    rows = {r["doc_id"] for r in t.read().collect()}
+    assert rows == {2, 9}  # 2 wins the (null ≡ '') group; 5 not silently lost
+    assert t.read().where(F.col("content_hash").isNull()).count() == 0
+
+
 # ------------------------------------------------- jaccard_against_corpus
 
 
@@ -179,6 +195,24 @@ def test_one_sided_jaccard_corpus_cap(spark):
     assert uncapped.count() == len(
         _brute_one_sided(new_rows, corpus_rows, 0.1, 64)
     ) > 0
+
+
+def test_one_sided_jaccard_excludes_empty_docs(spark):
+    # empty/whitespace-only/NULL docs degenerate to shingle set [""] and
+    # would pair with every other empty doc at jaccard 1.0 — excluded
+    new = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None), (3, "real shared text here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(100, ""), (101, "  "), (102, "real shared text here today")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in jaccard_against_corpus(new, corpus, "doc_id", "text", 0.3).collect()
+    }
+    assert got == {(3, 102)}  # only the real near-dup; no empty-empty pairs
 
 
 def test_one_sided_jaccard_no_cartesian_plan(spark):

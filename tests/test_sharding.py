@@ -251,9 +251,17 @@ def test_stratified_sample_two_stage_plan_and_validation(spark):
 
     out = stratified_sample(_langs(spark, 300).repartition(8), ["lang"], "doc_id", 4)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # stage 1 (map-local per-partition top-k via collect_list) must be
-    # present so the exchange carries <= k rows per (group, partition)
-    assert "collect_list" in plan
+    # stage 1 (map-side per-partition top-k, BEFORE any exchange) must be
+    # present so the shuffle carries <= k rows per (group, partition)
+    assert "MapInPandas" in plan
+    # single-partition input: the window alone is safe — stage 1 skipped
+    one = stratified_sample(_langs(spark, 300).coalesce(1), ["lang"], "doc_id", 4)
+    assert "MapInPandas" not in one._jdf.queryExecution().executedPlan().toString()
+    multi = {
+        (r["lang"], r["doc_id"], r["sample_rank"]) for r in out.collect()
+    }
+    single = {(r["lang"], r["doc_id"], r["sample_rank"]) for r in one.collect()}
+    assert multi == single  # bypass and two-stage agree exactly
     with pytest.raises(ValueError):
         stratified_sample(_langs(spark, 10), ["lang"], "doc_id", 0)
     with pytest.raises(ValueError):
