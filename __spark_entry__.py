@@ -2323,6 +2323,33 @@ FROM p
 """
 
 
+def shuffle_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch shuffle (`operators/sharding.py deterministic_shuffle`): a
+    deterministic pseudorandom global ordering — rank = position in
+    md5(id‖salt) order, identical on every worker/run/cluster size, a new
+    salt per epoch. Spark side is the distributed two-phase prefix COUNT
+    (no global sorted task); the oracle is the textbook row_number over
+    the same key."""
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
+        deterministic_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, "doc_id", salt="ep1").select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+_SHUFFLE_RANK_ORACLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || 'ep1') || '-'
+                  || lpad(CAST(doc_id AS VARCHAR), 24, '0')
+       ) - 1 AS BIGINT) AS shuffle_rank
+FROM documents
+"""
+
+
 # ------------------------------------- non-SQL-expressible (rows-only)
 
 def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3014,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "pack_shards_docs": pack_shards_docs,
         "pack_sequences_docs": pack_sequences_docs,
+        "shuffle_rank_docs": shuffle_rank_docs,
         "mixture_resample_docs": mixture_resample_docs,
         "repetition_stats_docs": repetition_stats_docs,
         "redact_pii_docs": redact_pii_docs,
@@ -3089,6 +3117,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _decontaminate_oracle(),
         "pack_shards_docs": _PACK_SHARDS_ORACLE,
         "pack_sequences_docs": _PACK_SEQUENCES_ORACLE,
+        "shuffle_rank_docs": _SHUFFLE_RANK_ORACLE,
         "mixture_resample_docs": _mixture_oracle(),
         "repetition_stats_docs": _REPETITION_ORACLE,
         "redact_pii_docs": _redact_oracle(),

@@ -31,6 +31,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
+    "deterministic_shuffle",
     "hash_split",
     "hash_split_expr",
     "mixture_resample",
@@ -228,6 +229,40 @@ def pack_sequences(
             ).otherwise(F.lit(0).cast("long")),
         )
         .drop("__prefix")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "",
+    rank_col: str = "shuffle_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Epoch shuffle: a deterministic pseudorandom global ordering of the
+    corpus — every row gets ``rank_col`` = its position (0-based) when
+    rows are sorted by md5(id‖salt). A training run re-shuffles per epoch
+    by changing the salt; the permutation is a pure function of (ids,
+    salt), so every worker, run, and cluster size sees the identical
+    order — the reproducibility property `hash_split` gives splits,
+    applied to ordering.
+
+    The textbook formulation is a global ``row_number`` window (one
+    sorted task — dead at scale). Here the rank is the exclusive prefix
+    COUNT over the hash order: range-repartition on the unique shuffle
+    key (md5 ‖ zero-padded id, so the order is total even under a hash
+    collision), then the same two-phase prefix sum as `pack_shards` with
+    a constant weight of 1. One range shuffle, partition-local windows,
+    bounded collect."""
+    key = F.concat(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        F.lit("-"),
+        F.lpad(F.col(id_col).cast("string"), 24, "0"),
+    )
+    keyed = df.withColumn("__skey", key).withColumn("__one", F.lit(1))
+    ranked = _with_exclusive_prefix(keyed, "__skey", "__one", num_partitions)
+    return ranked.withColumn(rank_col, F.col("__prefix").cast("long")).drop(
+        "__skey", "__one", "__prefix"
     )
 
 

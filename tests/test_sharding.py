@@ -331,3 +331,51 @@ def test_pack_sequences_no_single_partition_plan_and_validation(spark):
     assert "SinglePartition" not in plan  # every window partition-local
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "tokens", 0)
+
+
+# -------------------------------------------------- deterministic_shuffle
+
+def _brute_shuffle(n, salt=""):
+    import hashlib
+
+    keys = {
+        i: hashlib.md5((str(i) + salt).encode()).hexdigest() + "-" + str(i).zfill(24)
+        for i in range(n)
+    }
+    return {i: r for r, (i, _) in enumerate(sorted(keys.items(), key=lambda kv: kv[1]))}
+
+
+def test_deterministic_shuffle_brute_parity_and_permutation(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
+        deterministic_shuffle,
+    )
+
+    df = _langs(spark, 400).repartition(9)
+    got = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in deterministic_shuffle(df, "doc_id").collect()
+    }
+    assert got == _brute_shuffle(400)
+    assert sorted(got.values()) == list(range(400))  # a true permutation
+
+
+def test_deterministic_shuffle_salt_is_a_new_epoch(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
+        deterministic_shuffle,
+    )
+
+    base = _langs(spark, 300)
+    a = {r["doc_id"]: r["shuffle_rank"] for r in deterministic_shuffle(base, "doc_id", salt="e1").collect()}
+    b = {r["doc_id"]: r["shuffle_rank"] for r in deterministic_shuffle(base, "doc_id", salt="e2").collect()}
+    assert a == _brute_shuffle(300, "e1") and b == _brute_shuffle(300, "e2")
+    assert a != b  # different epoch = genuinely different order
+
+
+def test_deterministic_shuffle_no_single_partition_plan(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
+        deterministic_shuffle,
+    )
+
+    out = deterministic_shuffle(_langs(spark, 300).repartition(8), "doc_id", num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan  # never one global sorted task
