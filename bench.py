@@ -311,6 +311,12 @@ def main():
         "url_domains_docs",
         "blocklist_flag_docs",
         "exact_percentiles_orders",
+        "ingest_dedup_docs",
+        "incremental_jaccard_docs",
+        "stratified_sample_docs",
+        "vocab_coverage_docs",
+        "pack_sequences_docs",
+        "shuffle_rank_docs",
     ):
         t0 = time.time()
         qs[name](spark, sf_dir).count()
