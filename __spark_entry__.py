@@ -2876,6 +2876,56 @@ SELECT content_hash, doc_id, batch FROM r WHERE rn = 1
 """
 
 
+def stream_dedup_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-ingest (`streaming/file_ingest.py
+    stream_dedup_ingest`): the SAME planted-duplicate three-wave stream as
+    ingest_dedup_docs, but arriving as landed JSON-lines files consumed by
+    a checkpointed Structured Streaming file source (availableNow per
+    wave), each micro-batch admitted through the insert-only hash MERGE.
+    Exactly-once twice over — checkpoint manifest for delivery, idempotent
+    hash merge for redelivery — and the final corpus must equal the
+    declarative argmin-(wave, id) oracle exactly."""
+    from techtalk_data_pipeline_snowpark_spark.streaming.file_ingest import (
+        create_stage,
+        land_file,
+        stream_dedup_ingest,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    stream = docs.unionByName(dups).withColumn("wave", F.col("doc_id") % 3)
+    root = tempfile.mkdtemp(prefix="stream_dedup_")
+    stage = create_stage(os.path.join(root, "stage"))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    for w in range(3):
+        rows = stream.where(F.col("wave") == w).select("doc_id", "text").toJSON().collect()
+        land_file(stage, "\n".join(rows))
+        q = stream_dedup_ingest(
+            spark, stage, os.path.join(root, "ckpt"), os.path.join(root, "t"), schema
+        )
+        q.awaitTermination()
+    return LakeTable(spark, os.path.join(root, "t")).read().select(
+        "content_hash", "doc_id"
+    )
+
+
+_STREAM_DEDUP_INGEST_ORACLE = """
+WITH stream AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+b AS (SELECT doc_id, doc_id % 3 AS wave, sha256(text) AS content_hash FROM stream),
+r AS (SELECT *, row_number() OVER (PARTITION BY content_hash
+                                   ORDER BY wave, doc_id) AS rn FROM b)
+SELECT content_hash, doc_id FROM r WHERE rn = 1
+"""
+
+
 def incremental_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup (`operators/dedup.py jaccard_against_corpus`):
     a new batch (doc_id % 4 == 0) checked against the existing corpus by
@@ -3022,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "employee_industry_join": employee_industry_join,
         "exact_dedup_docs": exact_dedup_docs,
         "ingest_dedup_docs": ingest_dedup_docs,
+        "stream_dedup_ingest_docs": stream_dedup_ingest_docs,
         "incremental_jaccard_docs": incremental_jaccard_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "vocab_coverage_docs": vocab_coverage_docs,
@@ -3098,6 +3149,7 @@ def oracle_sql() -> dict[str, str]:
         "employee_industry_join": _EMPLOYEE_INDUSTRY_ORACLE,
         "exact_dedup_docs": _EXACT_DEDUP_ORACLE,
         "ingest_dedup_docs": _INGEST_DEDUP_ORACLE,
+        "stream_dedup_ingest_docs": _STREAM_DEDUP_INGEST_ORACLE,
         "incremental_jaccard_docs": _INCREMENTAL_JACCARD_ORACLE,
         "stratified_sample_docs": _STRATIFIED_SAMPLE_ORACLE,
         "vocab_coverage_docs": _VOCAB_COVERAGE_ORACLE,

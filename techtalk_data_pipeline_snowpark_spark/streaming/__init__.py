@@ -11,6 +11,7 @@ from .file_ingest import (
     create_stage,
     land_cloud_event,
     land_file,
+    stream_dedup_ingest,
     stream_ingest,
 )
 
@@ -23,6 +24,7 @@ __all__ = [
     "sliding_counts",
     "stateful_sessions",
     "stream_dedup",
+    "stream_dedup_ingest",
     "stream_ingest",
     "stream_replay",
     "windowed_counts",

@@ -92,6 +92,59 @@ def stream_ingest(
     )
 
 
+def stream_dedup_ingest(
+    spark: SparkSession,
+    stage_dir: str,
+    checkpoint_dir: str,
+    target_root: str,
+    schema: T.StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 8,
+):
+    """Streaming dedup-on-ingest: JSON-lines document files land in a
+    watched stage dir; every micro-batch admits only corpus-NEW content
+    via ``operators/dedup.dedup_ingest`` (insert-only MERGE keyed on
+    sha256(text)) into a content-hash-keyed LakeTable.
+
+    Exactly-once composition, twice over: the streaming checkpoint's file
+    manifest delivers each landed file to exactly one micro-batch, AND the
+    insert-only hash merge makes redelivery (a fresh consumer re-reading
+    the same files after losing its checkpoint) an exact no-op — the
+    final corpus is identical either way. First-seen content wins across
+    batches; min id wins within a batch.
+
+    ``schema`` is the DOCUMENT schema (``id_col`` + ``text_col`` + any
+    extra columns); the target table's schema is content_hash + those.
+    Returns the StreamingQuery (trigger availableNow — one call drains
+    the current backlog and stops, the reference's per-tick consumption
+    shape, IngestPaymentsStreamFromStage.scala:32-71)."""
+    from ..operators.dedup import dedup_ingest
+
+    table_schema = T.StructType(
+        [T.StructField("content_hash", T.StringType()), *schema.fields]
+    )
+    LakeTable.create(
+        spark, target_root, table_schema, key_cols=["content_hash"],
+        num_buckets=num_buckets, if_not_exists=True,
+    )
+    raw = spark.readStream.format("json").schema(schema).load(stage_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        dedup_ingest(
+            LakeTable(batch_df.sparkSession, target_root), batch_df, text_col, id_col
+        )
+
+    return (
+        raw.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 CLOUD_EVENT_SCHEMA = T.StructType(
     [
         T.StructField("eventType", T.StringType()),
