@@ -2350,6 +2350,34 @@ FROM documents
 """
 
 
+_CHUNK_W, _CHUNK_S = 24, 16
+
+
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token windowing (`operators/sharding.py
+    chunk_documents`): each document cut into 24-token windows advancing
+    16 tokens (8-token overlap), never mixing documents — the long-context
+    / embedding-index chunking step, complementary to pack_sequences'
+    concat-then-chunk. Map-only JVM expressions (zero shuffles); the
+    oracle replays the identical strip/split/slice arithmetic."""
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", _CHUNK_W, _CHUNK_S).select(
+        "doc_id", "chunk_id", "chunk_text", "n_tokens"
+    )
+
+
+def _chunk_docs_oracle() -> str:
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
+        chunk_documents_oracle,
+    )
+
+    return chunk_documents_oracle("documents", "doc_id", "text", _CHUNK_W, _CHUNK_S)
+
+
 # ------------------------------------- non-SQL-expressible (rows-only)
 
 def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3093,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards_docs": pack_shards_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "shuffle_rank_docs": shuffle_rank_docs,
+        "chunk_docs": chunk_docs,
         "mixture_resample_docs": mixture_resample_docs,
         "repetition_stats_docs": repetition_stats_docs,
         "redact_pii_docs": redact_pii_docs,
@@ -3170,6 +3199,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_shards_docs": _PACK_SHARDS_ORACLE,
         "pack_sequences_docs": _PACK_SEQUENCES_ORACLE,
         "shuffle_rank_docs": _SHUFFLE_RANK_ORACLE,
+        "chunk_docs": _chunk_docs_oracle(),
         "mixture_resample_docs": _mixture_oracle(),
         "repetition_stats_docs": _REPETITION_ORACLE,
         "redact_pii_docs": _redact_oracle(),

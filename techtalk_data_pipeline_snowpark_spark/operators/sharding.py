@@ -31,6 +31,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
+    "chunk_documents",
     "deterministic_shuffle",
     "hash_split",
     "hash_split_expr",
@@ -264,6 +265,93 @@ def deterministic_shuffle(
     return ranked.withColumn(rank_col, F.col("__prefix").cast("long")).drop(
         "__skey", "__one", "__prefix"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    stride: int | None = None,
+    index_col: str = "chunk_id",
+    chunk_col: str = "chunk_text",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the per-document counterpart of :func:`pack_sequences` (which concats
+    the corpus then chunks): long-context training and embedding indexing
+    both want each document cut into ``window``-token pieces advancing by
+    ``stride`` tokens (overlap = window − stride), never mixing documents.
+
+    Chunk ``i`` covers whitespace tokens ``[i*stride, i*stride+window)``;
+    the chunk count is ``ceil(max(n−window, 0)/stride) + 1`` so the final
+    window always reaches the last token (the tail chunk may be shorter
+    than ``window``; ``tokens_col`` carries each chunk's true length).
+    Token-less documents (NULL/blank text) produce no rows.
+
+    Plan shape: filter → split → explode(sequence) → slice/array_join.
+    Map-only — zero shuffles, chunk fan-out bounded per document by
+    ``n/stride`` — and pure JVM expressions (whole-stage codegen), so it
+    scales as a linear pass over the corpus. Tokenization (strip then
+    split on ``\\s+``) matches `functions/text.token_count`, and every
+    step is replayable in ANSI SQL, so the operator has an exact oracle.
+    """
+    if window <= 0:
+        raise ValueError("window must be positive")
+    stride = window if stride is None else stride
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    w, s = int(window), int(stride)
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .withColumn("__toks", F.split(stripped, r"\s+"))
+        .where((F.size("__toks") > 0) & (F.element_at("__toks", 1) != ""))
+        .withColumn("__n", F.size("__toks"))
+    )
+    extra = F.greatest(F.col("__n") - w, F.lit(0))
+    last_idx = F.floor((extra + (s - 1)) / s).cast("int")
+    start = F.col("__i").cast("int") * s
+    return (
+        base.withColumn("__i", F.explode(F.sequence(F.lit(0), last_idx)))
+        .withColumn(index_col, F.col("__i").cast("long"))
+        .withColumn(chunk_col, F.array_join(F.slice("__toks", start + 1, F.lit(w)), " "))
+        .withColumn(tokens_col, F.least(F.lit(w), F.col("__n") - start).cast("long"))
+        .drop("__toks", "__n", "__i")
+    )
+
+
+def chunk_documents_oracle(
+    table: str,
+    id_col: str,
+    text_col: str,
+    window: int,
+    stride: int | None = None,
+) -> str:
+    """The exact DuckDB replay of :func:`chunk_documents` (same strip,
+    same ``\\s+`` split, same 1-based inclusive slice arithmetic)."""
+    w = int(window)
+    s = int(window if stride is None else stride)
+    return f"""
+WITH stripped AS (
+  SELECT *, regexp_split_to_array(
+           regexp_replace({text_col}, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+  FROM {table}
+  WHERE {text_col} IS NOT NULL
+), docs AS (
+  SELECT *, len(toks) AS n FROM stripped
+  WHERE len(toks) > 0 AND toks[1] <> ''
+), idx AS (
+  SELECT {id_col}, toks, n,
+         unnest(generate_series(0, (greatest(n - {w}, 0) + {s - 1}) // {s})) AS i
+  FROM docs
+)
+SELECT {id_col},
+       CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(toks[i*{s}+1 : i*{s}+{w}], ' ') AS chunk_text,
+       CAST(least({w}, n - i*{s}) AS BIGINT) AS n_tokens
+FROM idx
+"""
 
 
 def _frac_hex(frac: float) -> str:

@@ -379,3 +379,111 @@ def test_deterministic_shuffle_no_single_partition_plan(spark):
     out = deterministic_shuffle(_langs(spark, 300).repartition(8), "doc_id", num_partitions=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan  # never one global sorted task
+
+
+# ----------------------------------------------------- chunk_documents
+
+def _brute_chunks(texts, window, stride):
+    """(doc_id, chunk_id, chunk_text, n_tokens) ground truth in Python."""
+    out = []
+    for doc_id, text in texts:
+        if text is None:
+            continue
+        toks = text.split()
+        if not toks:
+            continue
+        n = len(toks)
+        last = (max(n - window, 0) + stride - 1) // stride
+        for i in range(last + 1):
+            piece = toks[i * stride : i * stride + window]
+            out.append((doc_id, i, " ".join(piece), min(window, n - i * stride)))
+    return sorted(out)
+
+
+def _chunk_rows(spark, texts):
+    return spark.createDataFrame(texts, "doc_id: long, text: string")
+
+
+_CHUNK_TEXTS = [
+    (0, "a b c d e f g h i j"),      # 10 tokens
+    (1, "one"),                       # single token
+    (2, ""),                          # blank -> no chunks
+    (3, None),                        # NULL -> no chunks
+    (4, "  lead  mid   trail  "),     # messy whitespace
+    (5, "w x y z"),                   # n == window boundary cases
+]
+
+
+def test_chunk_documents_brute_parity_over_window_stride_grid(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import chunk_documents
+
+    df = _chunk_rows(spark, _CHUNK_TEXTS).repartition(5)
+    for window, stride in [(4, 4), (4, 2), (3, 1), (2, 5), (100, 7)]:
+        got = sorted(
+            (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+            for r in chunk_documents(df, "doc_id", "text", window, stride).collect()
+        )
+        assert got == _brute_chunks(_CHUNK_TEXTS, window, stride), (window, stride)
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import chunk_documents
+
+    df = _chunk_rows(spark, [(0, "a b c d e")])
+    rows = {r["chunk_id"]: r for r in chunk_documents(df, "doc_id", "text", 3, 2).collect()}
+    # windows: [a b c], [c d e] — last window reaches the final token exactly
+    assert rows[0]["chunk_text"] == "a b c" and rows[0]["n_tokens"] == 3
+    assert rows[1]["chunk_text"] == "c d e" and rows[1]["n_tokens"] == 3
+    assert len(rows) == 2
+    # stride 4 overshoots: tail chunk is short, length reported truthfully
+    rows = {r["chunk_id"]: r for r in chunk_documents(df, "doc_id", "text", 3, 4).collect()}
+    assert rows[1]["chunk_text"] == "e" and rows[1]["n_tokens"] == 1
+
+
+def test_chunk_documents_keeps_payload_and_is_map_only(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "en")], "doc_id: long, text: string, lang: string"
+    )
+    out = chunk_documents(df, "doc_id", "text", 2)
+    assert set(out.columns) == {"doc_id", "text", "lang", "chunk_id", "chunk_text", "n_tokens"}
+    assert [r["lang"] for r in out.collect()] == ["en", "en"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: no shuffle at any scale
+
+
+def test_chunk_documents_validation(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import chunk_documents
+
+    df = _chunk_rows(spark, [(0, "a b")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", 0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", 4, 0)
+
+
+def test_chunk_documents_duckdb_oracle_parity(spark):
+    import duckdb
+
+    from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
+        chunk_documents,
+        chunk_documents_oracle,
+    )
+
+    df = _chunk_rows(spark, _CHUNK_TEXTS)
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, "doc_id", "text", 4, 3)
+        .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", _CHUNK_TEXTS)
+    want = sorted(
+        tuple(r) for r in con.execute(
+            chunk_documents_oracle("documents", "doc_id", "text", 4, 3)
+        ).fetchall()
+    )
+    assert got == want
