@@ -2378,6 +2378,121 @@ def _chunk_docs_oracle() -> str:
     return chunk_documents_oracle("documents", "doc_id", "text", _CHUNK_W, _CHUNK_S)
 
 
+_KM_K, _KM_ITERS, _KM_SALT, _KM_SCALE, _KM_D = 8, 2, "kmeans-r5", 10_000, 64
+_KM_NUM, _KM_DEN = 2, 5  # semantic near-dup threshold cos >= 2/5
+
+
+def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quantized k-means over the embeddings table
+    (`operators/clustering.py kmeans_fit`): components floor-quantized
+    to an int64 grid so distances, argmin, and floor(sum/count) centroid
+    updates are EXACT integer arithmetic — assignments are bit-identical
+    on every partitioning and cluster size (float k-means is not), which
+    is what lets the oracle unroll the same two Lloyd iterations in
+    DuckDB. Assignment is map-only JVM folds against broadcast centroid
+    literals; each update shuffles ≤ k·d partial-agg rows per task."""
+    from techtalk_data_pipeline_snowpark_spark.operators import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    asg, _ = kmeans_fit(
+        emb, "vec_id", "embedding", _KM_K, _KM_ITERS, _KM_SALT, _KM_SCALE
+    )
+    return asg.select("vec_id", "cluster", "dist_sq")
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    then flag near-duplicate pairs only WITHIN a cluster — the quadratic
+    corpus self-join becomes k bounded cluster-local joins. The cosine
+    threshold is cross-multiplied into 128-bit integers
+    (den²·dot² ≥ num²·|a|²·|b|², dot > 0: DECIMAL(38,0) here, HUGEINT in
+    the oracle) so the pair set is engine-exact, no float rounding."""
+    from techtalk_data_pipeline_snowpark_spark.operators import (
+        kmeans_fit,
+        semantic_near_dups,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    asg, _ = kmeans_fit(
+        emb, "vec_id", "embedding", _KM_K, _KM_ITERS, _KM_SALT, _KM_SCALE
+    )
+    return semantic_near_dups(asg, "vec_id", (_KM_NUM, _KM_DEN))
+
+
+def _kmeans_cte() -> str:
+    """WITH-clause replaying kmeans_fit exactly in DuckDB: quantize,
+    md5-seeded init, then _KM_ITERS unrolled (assign → floor-mean
+    update with empty-cluster carry) ending at asg{_KM_ITERS}."""
+    dsq = (
+        "CAST(list_sum(list_transform(list_zip(q.v, ct.v),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
+    )
+
+    def asg_cte(n: int) -> str:
+        return f"""asg{n} AS (
+  SELECT vec_id, c, dist FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+    FROM (SELECT q.vec_id, ct.c, {dsq} AS dist FROM q CROSS JOIN cent{n} ct) d)
+  WHERE rn = 1)"""
+
+    def upd_cte(n: int) -> str:
+        return f"""upd{n + 1} AS (
+  SELECT a.c, t.i AS pos,
+         CAST(floor(sum(q.v[t.i + 1])::DOUBLE / count(*)) AS BIGINT) AS val
+  FROM asg{n} a JOIN q USING (vec_id) CROSS JOIN range({_KM_D}) t(i)
+  GROUP BY a.c, t.i),
+cent{n + 1} AS (
+  SELECT p.c, coalesce(nw.v, p.v) AS v
+  FROM cent{n} p LEFT JOIN
+    (SELECT c, list(val ORDER BY pos) AS v FROM upd{n + 1} GROUP BY c) nw
+    USING (c))"""
+
+    parts = [
+        f"""q AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS v
+  FROM embeddings),
+cent0 AS (
+  SELECT CAST(rn - 1 AS BIGINT) AS c, v FROM (
+    SELECT v, row_number() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR) || '{_KM_SALT}'), vec_id) AS rn
+    FROM q)
+  WHERE rn <= {_KM_K})"""
+    ]
+    for i in range(_KM_ITERS):
+        parts.append(asg_cte(i))
+        parts.append(upd_cte(i))
+    parts.append(asg_cte(_KM_ITERS))
+    return "WITH " + ",\n".join(parts)
+
+
+def _kmeans_oracle() -> str:
+    return (
+        _kmeans_cte()
+        + f"\nSELECT vec_id, c AS cluster, dist AS dist_sq FROM asg{_KM_ITERS}"
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    return (
+        _kmeans_cte()
+        + f""",
+mem AS (SELECT a.vec_id, a.c, q.v FROM asg{_KM_ITERS} a JOIN q USING (vec_id)),
+raw AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, x.c AS cluster,
+         CAST(list_sum(list_transform(list_zip(x.v, y.v),
+              s -> s[1] * s[2])) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(x.v, e -> e * e)) AS BIGINT) AS na2,
+         CAST(list_sum(list_transform(y.v, e -> e * e)) AS BIGINT) AS nb2
+  FROM mem x JOIN mem y ON x.c = y.c AND x.vec_id < y.vec_id)
+SELECT a, b, cluster, dot FROM raw
+WHERE dot > 0
+  AND {_KM_DEN * _KM_DEN}::HUGEINT * dot::HUGEINT * dot::HUGEINT
+      >= {_KM_NUM * _KM_NUM}::HUGEINT * na2::HUGEINT * nb2::HUGEINT
+"""
+    )
+
+
 # ------------------------------------- non-SQL-expressible (rows-only)
 
 def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3122,6 +3237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": pack_sequences_docs,
         "shuffle_rank_docs": shuffle_rank_docs,
         "chunk_docs": chunk_docs,
+        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "mixture_resample_docs": mixture_resample_docs,
         "repetition_stats_docs": repetition_stats_docs,
         "redact_pii_docs": redact_pii_docs,
@@ -3200,6 +3317,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_docs": _PACK_SEQUENCES_ORACLE,
         "shuffle_rank_docs": _SHUFFLE_RANK_ORACLE,
         "chunk_docs": _chunk_docs_oracle(),
+        "kmeans_clusters_embeddings": _kmeans_oracle(),
+        "semantic_dedup_embeddings": _semantic_dedup_oracle(),
         "mixture_resample_docs": _mixture_oracle(),
         "repetition_stats_docs": _REPETITION_ORACLE,
         "redact_pii_docs": _redact_oracle(),

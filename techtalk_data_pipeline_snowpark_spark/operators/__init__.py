@@ -5,6 +5,13 @@ from .analytics import (
 )
 from .asof import asof_join
 from .components import assign_components, connected_components
+from .clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    quantize_embedding,
+    semantic_cluster_stats,
+    semantic_near_dups,
+)
 from .interval import interval_join
 from .dedup import (
     char_ngrams,
