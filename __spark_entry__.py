@@ -2419,6 +2419,33 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_near_dups(asg, "vec_id", (_KM_NUM, _KM_DEN))
 
 
+_KM_NPROBE, _KM_TOPK = 2, 5
+
+
+def ann_kmeans_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE IVF ANN (`operators/similarity.py cosine_topk_kmeans_ivf`):
+    corpus assigned once to its nearest quantized-k-means centroid, each
+    query probes its 2 nearest centroids and ranks only those clusters'
+    members by cosine — the FAISS coarse-quantizer shape. Candidate
+    selection is exact int64 arithmetic, so unlike the hyperplane-LSH
+    `cosine_topk_ann` (declared rows-only) this ANN entry has an EXACT
+    oracle: DuckDB replays the same k-means, the same probe argsort, and
+    the same rounded-cosine ranking."""
+    from techtalk_data_pipeline_snowpark_spark.operators import (
+        cosine_topk_kmeans_ivf,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, cents = kmeans_fit(
+        emb, "vec_id", "embedding", _KM_K, _KM_ITERS, _KM_SALT, _KM_SCALE
+    )
+    q = emb.where(F.col("vec_id") < 20)
+    return cosine_topk_kmeans_ivf(
+        emb, q, cents, k=_KM_TOPK, nprobe=_KM_NPROBE, scale=_KM_SCALE
+    )
+
+
 def _kmeans_cte() -> str:
     """WITH-clause replaying kmeans_fit exactly in DuckDB: quantize,
     md5-seeded init, then _KM_ITERS unrolled (assign → floor-mean
@@ -2489,6 +2516,42 @@ SELECT a, b, cluster, dot FROM raw
 WHERE dot > 0
   AND {_KM_DEN * _KM_DEN}::HUGEINT * dot::HUGEINT * dot::HUGEINT
       >= {_KM_NUM * _KM_NUM}::HUGEINT * na2::HUGEINT * nb2::HUGEINT
+"""
+    )
+
+
+def _ann_kmeans_ivf_oracle() -> str:
+    dsq = (
+        "CAST(list_sum(list_transform(list_zip(q.v, ct.v),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
+    )
+    return (
+        _kmeans_cte()
+        + f""",
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+qp AS (
+  SELECT vec_id AS query_id, c AS cluster FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+    FROM (SELECT q.vec_id, ct.c, {dsq} AS dist
+          FROM q CROSS JOIN cent{_KM_ITERS} ct WHERE q.vec_id < 20) d)
+  WHERE rn <= {_KM_NPROBE}),
+cand AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id
+  FROM qp JOIN asg{_KM_ITERS} a ON a.c = qp.cluster AND a.vec_id <> qp.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(qe.ve, ne.ve)
+               / (sqrt(list_dot_product(qe.ve, qe.ve))
+                  * sqrt(list_dot_product(ne.ve, ne.ve))), 9) AS cos_sim
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ne ON ne.vec_id = c.neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_KM_TOPK}
 """
     )
 
@@ -3239,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": chunk_docs,
         "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "ann_kmeans_ivf_embeddings": ann_kmeans_ivf_embeddings,
         "mixture_resample_docs": mixture_resample_docs,
         "repetition_stats_docs": repetition_stats_docs,
         "redact_pii_docs": redact_pii_docs,
@@ -3319,6 +3383,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _chunk_docs_oracle(),
         "kmeans_clusters_embeddings": _kmeans_oracle(),
         "semantic_dedup_embeddings": _semantic_dedup_oracle(),
+        "ann_kmeans_ivf_embeddings": _ann_kmeans_ivf_oracle(),
         "mixture_resample_docs": _mixture_oracle(),
         "repetition_stats_docs": _REPETITION_ORACLE,
         "redact_pii_docs": _redact_oracle(),

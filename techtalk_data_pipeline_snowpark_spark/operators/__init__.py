@@ -47,5 +47,6 @@ from .similarity import (
     cosine_topk_brute,
     cosine_topk_ivf,
     cosine_topk_ivf_indexed,
+    cosine_topk_kmeans_ivf,
     topk_per_key,
 )

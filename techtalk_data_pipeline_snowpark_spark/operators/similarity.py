@@ -245,3 +245,88 @@ def cosine_topk_ivf(
     return topk_per_key(deduped, "query_id", "cosine", "neighbor_id", k).select(
         "query_id", "neighbor_id", "cosine", "rank"
     )
+
+
+def cosine_topk_kmeans_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 1,
+    scale: int = 10_000,
+) -> DataFrame:
+    """TRUE IVF ANN (the FAISS coarse-quantizer shape): the corpus is
+    assigned once to its nearest k-means centroid (``clustering.kmeans_fit``
+    — quantized, exact-integer, partitioning-invariant); each query probes
+    its ``nprobe`` nearest centroids and ranks ONLY those clusters'
+    members by cosine. Because both the corpus assignment and the probe
+    selection are exact int64 arithmetic, the candidate set — unlike the
+    hyperplane-LSH cells of ``cosine_topk_ivf`` — is deterministic AND
+    exactly replayable by a SQL oracle; only the final cosine is float
+    (rounded, like ``cosine_topk_brute``'s contract).
+
+    Scale: assignment and probe selection are map-only JVM folds; the
+    probe list (queries × nprobe rows) broadcasts into the join, so the
+    corpus never shuffles; the exact top-k is the two-stage reduction
+    (≤ k rows per (query, partition) cross the one exchange).
+    """
+    from .clustering import _dist_sq, quantize_embedding
+
+    if not centroids:
+        raise ValueError("cosine_topk_kmeans_ivf: centroids must be non-empty")
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(
+            f"cosine_topk_kmeans_ivf: nprobe must be in [1, {len(centroids)}]"
+        )
+    # score in DOUBLE end-to-end (float folds drift in the 8th decimal
+    # and would break the rounded-cosine contract vs a double engine)
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        dbl.alias("cv"),
+        quantize_embedding(vec_col, scale).alias("__qv"),
+    )
+    c = c.select(
+        "neighbor_id",
+        "cv",
+        (
+            F.array_position(
+                d := F.array(*[_dist_sq(F.col("__qv"), ct) for ct in centroids]),
+                F.array_min(d),
+            )
+            - F.lit(1)
+        ).cast("long").alias("cluster"),
+    )
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        dbl.alias("qv"),
+        quantize_embedding(vec_col, scale).alias("__qv"),
+    )
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _dist_sq(F.col("__qv"), ct).alias("d"),
+                    F.lit(i).cast("long").alias("i"),
+                )
+                for i, ct in enumerate(centroids)
+            ]
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+    q = qq.select(
+        "query_id", "qv", F.explode(probes).alias("cluster")
+    )
+    scored = c.join(
+        F.broadcast(q),
+        ["cluster"],
+    ).where(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cos_sim"),
+    )
+    return topk_per_key(scored, "query_id", "cos_sim", "neighbor_id", k).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )

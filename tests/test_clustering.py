@@ -223,3 +223,80 @@ def test_validation(spark):
         semantic_near_dups(asg, "vec_id", cluster_cap=0)
     with pytest.raises(ValueError, match="centroids"):
         kmeans_assign(df, "embedding", [])
+
+
+def _brute_topk(rows, centroids, qid, nprobe, k):
+    """Exact replay of cosine_topk_kmeans_ivf in Python."""
+    def dist(v, cent):
+        return sum((a - b) * (a - b) for a, b in zip(_q(v), cent))
+
+    def cluster(v):
+        ds = [dist(v, c) for c in centroids]
+        return ds.index(min(ds))
+
+    qvec = dict(rows)[qid]
+    probes = [
+        c
+        for _, c in sorted(
+            (dist(qvec, cent), c) for c, cent in enumerate(centroids)
+        )[:nprobe]
+    ]
+    cands = [
+        (rid, vec)
+        for rid, vec in rows
+        if rid != qid and cluster(vec) in probes
+    ]
+
+    def cos(a, b):
+        import math as m
+
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (m.sqrt(sum(x * x for x in a)) * m.sqrt(sum(x * x for x in b))), 9)
+
+    scored = sorted(((-cos(qvec, v), rid) for rid, v in cands))
+    return [(rid, -negc) for negc, rid in scored[:k]]
+
+
+def test_kmeans_ivf_brute_parity_and_planted(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators import (
+        cosine_topk_kmeans_ivf,
+    )
+
+    rows = _synth(n=80, d=8, clusters=4, seed=21)
+    # plant an exact near-dup of row 1 — must surface at rank 1
+    rows.append((2000, [x * 1.001 for x in rows[1][1]]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    asg, cents = kmeans_fit(df, "vec_id", "embedding", k=4, iters=2, salt="iv")
+    out = cosine_topk_kmeans_ivf(
+        df, df.where(F.col("vec_id") < 3), cents, k=5, nprobe=2
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos_sim"])
+        )
+    for qid in (0, 1, 2):
+        want = _brute_topk(rows, cents, qid, nprobe=2, k=5)
+        got_q = [(n, c) for _, n, c in sorted(got[qid])]
+        assert got_q == want, (qid, got_q, want)
+    assert sorted(got[1])[0][1] == 2000  # planted dup is rank 1
+
+
+def test_kmeans_ivf_plan_and_validation(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators import (
+        cosine_topk_kmeans_ivf,
+    )
+
+    rows = _synth(n=40, seed=23)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    _, cents = kmeans_fit(df, "vec_id", "embedding", k=3, iters=1, salt="pv")
+    out = cosine_topk_kmeans_ivf(df, df.limit(2), cents, k=3, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan  # probe side broadcasts
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError, match="nprobe"):
+        cosine_topk_kmeans_ivf(df, df, cents, nprobe=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        cosine_topk_kmeans_ivf(df, df, cents, nprobe=99)
+    with pytest.raises(ValueError, match="centroids"):
+        cosine_topk_kmeans_ivf(df, df, [])
