@@ -317,6 +317,10 @@ def main():
         "vocab_coverage_docs",
         "pack_sequences_docs",
         "shuffle_rank_docs",
+        "chunk_docs",
+        "kmeans_clusters_embeddings",
+        "semantic_dedup_embeddings",
+        "ann_kmeans_ivf_embeddings",
     ):
         t0 = time.time()
         qs[name](spark, sf_dir).count()

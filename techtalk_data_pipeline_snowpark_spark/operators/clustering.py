@@ -96,11 +96,21 @@ def kmeans_assign(
     centroid folds codegen into one projection, zero shuffles."""
     if not centroids:
         raise ValueError("kmeans_assign: centroids must be non-empty")
+    from .dedup import _bind
+
     dists = F.array(*[_dist_sq(F.col(vec_col), c) for c in centroids])
-    mind = F.array_min(dists)
+    # _bind: the k aggregate-folds are higher-order functions (interpreted,
+    # no codegen CSE) — evaluate the distance array ONCE per output column
+    # instead of once per reference.
     return df.withColumn(
-        cluster_col, (F.array_position(dists, mind) - F.lit(1)).cast("long")
-    ).withColumn(dist_col, mind)
+        cluster_col,
+        _bind(
+            dists,
+            lambda ds: (F.array_position(ds, F.array_min(ds)) - F.lit(1)).cast(
+                "long"
+            ),
+        ),
+    ).withColumn(dist_col, _bind(dists, lambda ds: F.array_min(ds)))
 
 
 def _seed_centroids(
