@@ -84,6 +84,10 @@ from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
     pack_shards,
 )
 from techtalk_data_pipeline_snowpark_spark.operators.heavyhitters import frequent_values
+from techtalk_data_pipeline_snowpark_spark.operators.retrieval import (
+    bm25_topk,
+    tfidf_top_terms,
+)
 from techtalk_data_pipeline_snowpark_spark.operators.similarity import cosine_topk_ivf
 
 
@@ -3233,6 +3237,90 @@ FROM tk t LEFT JOIN inv USING (doc_id)
 """
 
 
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (keyword extraction): smooth-idf
+    weighting, ranked on the 6-decimal-rounded score with the term as
+    tie-break — the rounding makes rank order an exact SQL twin
+    (`operators/retrieval.py`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", top_n=3)
+
+
+_TFIDF_TOP_TERMS_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM tk),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * (ln((n.n + 1.0) / (dfc + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+_BM25_QUERY = "spark merge window customer vector"
+
+
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-25 for a fixed query — the embedding-free half of
+    a hybrid retrieval stack (`operators/retrieval.py`): exploded corpus
+    filtered to the query's terms BEFORE aggregation, ≤|query|-row df
+    side broadcast, N/avgdl via broadcast one-row crossJoin, final cut a
+    TakeOrderedAndProject. Scores round to 6 before ranking."""
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY, "doc_id", "text", k=25)
+
+
+_BM25_SEARCH_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+qt AS (SELECT unnest(['customer', 'merge', 'spark', 'vector', 'window']) AS term),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk)
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tk),
+scored AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+           AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 25
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3282,6 +3370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_jaccard_docs": incremental_jaccard_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "vocab_coverage_docs": vocab_coverage_docs,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "bm25_search_docs": bm25_search_docs,
         "token_stats_docs": token_stats_docs,
         "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
@@ -3363,6 +3453,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_jaccard_docs": _INCREMENTAL_JACCARD_ORACLE,
         "stratified_sample_docs": _STRATIFIED_SAMPLE_ORACLE,
         "vocab_coverage_docs": _VOCAB_COVERAGE_ORACLE,
+        "tfidf_top_terms_docs": _TFIDF_TOP_TERMS_ORACLE,
+        "bm25_search_docs": _BM25_SEARCH_ORACLE,
         "token_stats_docs": _TOKEN_STATS_ORACLE,
         "lang_id_docs": _lang_id_oracle(),
         "quality_docs": _QUALITY_ORACLE,

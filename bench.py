@@ -321,6 +321,8 @@ def main():
         "kmeans_clusters_embeddings",
         "semantic_dedup_embeddings",
         "ann_kmeans_ivf_embeddings",
+        "tfidf_top_terms_docs",
+        "bm25_search_docs",
     ):
         t0 = time.time()
         qs[name](spark, sf_dir).count()
