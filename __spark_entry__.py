@@ -86,6 +86,7 @@ from techtalk_data_pipeline_snowpark_spark.operators.sharding import (
 from techtalk_data_pipeline_snowpark_spark.operators.heavyhitters import frequent_values
 from techtalk_data_pipeline_snowpark_spark.operators.retrieval import (
     bm25_topk,
+    rrf_fuse,
     tfidf_top_terms,
 )
 from techtalk_data_pipeline_snowpark_spark.operators.similarity import cosine_topk_ivf
@@ -3321,6 +3322,93 @@ LIMIT 25
 """
 
 
+def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 fused with embedding-cosine
+    top-50 (query = doc 0's vector, vec_id aligns with doc_id) by
+    reciprocal-rank fusion (`operators/retrieval.py rrf_fuse`). Both
+    branches and the fusion are exact-SQL twins, so the full hybrid stack
+    is oracle-checked end to end. The fused join is metadata-sized
+    (≤ 50 rows per side) regardless of corpus size."""
+    from techtalk_data_pipeline_snowpark_spark.operators.similarity import (
+        cosine_topk_brute,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, _BM25_QUERY, "doc_id", "text", k=50).select(
+        "doc_id", "rank"
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    sem = cosine_topk_brute(
+        emb, emb.where(F.col("vec_id") == 0), k=50, round_digits=9
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("int").alias("rank"))
+    return rrf_fuse([lex, sem], "doc_id", top=10).select(
+        "doc_id",
+        F.col("rank_0").alias("lex_rank"),
+        F.col("rank_1").alias("sem_rank"),
+        "rrf",
+        "rank",
+    )
+
+
+_HYBRID_SEARCH_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+qt AS (SELECT unnest(['customer', 'merge', 'spark', 'vector', 'window']) AS term),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk)
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tk),
+bm AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+           AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rank
+  FROM bm ORDER BY score DESC, doc_id ASC LIMIT 50
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+sem_scored AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_dot_product(qv.v, c.v)
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 9) AS cs
+  FROM e c CROSS JOIN qv WHERE c.vec_id <> 0
+),
+sem AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS INT) AS sem_rank
+  FROM sem_scored ORDER BY cs DESC, doc_id ASC LIMIT 50
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         round(coalesce(1.0 / (60.0 + l.lex_rank), 0)
+               + coalesce(1.0 / (60.0 + s.sem_rank), 0), 9) AS rrf
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3372,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_docs": vocab_coverage_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "bm25_search_docs": bm25_search_docs,
+        "hybrid_search_docs": hybrid_search_docs,
         "token_stats_docs": token_stats_docs,
         "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
@@ -3455,6 +3544,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage_docs": _VOCAB_COVERAGE_ORACLE,
         "tfidf_top_terms_docs": _TFIDF_TOP_TERMS_ORACLE,
         "bm25_search_docs": _BM25_SEARCH_ORACLE,
+        "hybrid_search_docs": _HYBRID_SEARCH_ORACLE,
         "token_stats_docs": _TOKEN_STATS_ORACLE,
         "lang_id_docs": _lang_id_oracle(),
         "quality_docs": _QUALITY_ORACLE,

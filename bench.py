@@ -323,6 +323,7 @@ def main():
         "ann_kmeans_ivf_embeddings",
         "tfidf_top_terms_docs",
         "bm25_search_docs",
+        "hybrid_search_docs",
     ):
         t0 = time.time()
         qs[name](spark, sf_dir).count()

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from .vocab import _tokens
 
-__all__ = ["doc_term_freqs", "tfidf_top_terms", "bm25_topk"]
+__all__ = ["doc_term_freqs", "tfidf_top_terms", "bm25_topk", "rrf_fuse"]
 
 
 def doc_term_freqs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -170,3 +170,48 @@ def bm25_topk(
     top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k_const: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher): fuse N ranked
+    lists into one by ``sum_i 1/(k_const + rank_i)``, items missing from
+    a list contributing 0 for it. The standard hybrid-search combiner —
+    score scales never need calibrating because only ranks enter.
+
+    Output: (id, rank_0..rank_{N-1} nullable, rrf, rank), ordered by
+    (rrf desc, id asc) on the 9-decimal-rounded fusion (IEEE division of
+    small ints — an exact cross-engine value).
+
+    Scale: inputs are top-k lists (≤ k rows each) — the full-outer join
+    chain and the final window are metadata-sized no matter the corpus."""
+    if len(lists) < 2:
+        raise ValueError(f"rrf_fuse needs at least 2 lists, got {len(lists)}")
+    if k_const <= 0 or top <= 0:
+        raise ValueError("k_const and top must be positive")
+    sides = [
+        df.select(F.col(id_col), F.col(rank_col).alias(f"rank_{i}"))
+        for i, df in enumerate(lists)
+    ]
+    joined = sides[0]
+    for s in sides[1:]:
+        joined = joined.join(s, id_col, "full_outer")
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_const)) + F.col(f"rank_{i}")),
+            F.lit(0.0),
+        )
+        for i in range(len(sides))
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    fused = joined.withColumn("rrf", F.round(score, 9))
+    cut = fused.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(top)
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return cut.withColumn("rank", F.row_number().over(w))

@@ -186,3 +186,57 @@ def test_tfidf_plan_shape(spark):
     # the persisted tf barrier is in the plan (the explode+shuffle does
     # not run once per consumer)
     assert "InMemoryTableScan" in plan
+
+
+# ------------------------------------------------------------- rrf_fuse
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "rank"])
+
+
+def test_rrf_brute_parity_and_missing_sides(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.retrieval import rrf_fuse
+
+    a = _ranked(spark, [(1, 1), (2, 2), (3, 3)])
+    b = _ranked(spark, [(3, 1), (4, 2)])
+    out = {
+        r["doc_id"]: (r["rank_0"], r["rank_1"], r["rrf"], r["rank"])
+        for r in rrf_fuse([a, b], "doc_id", top=10).collect()
+    }
+    exp_scores = {
+        1: 1 / 61,
+        2: 1 / 62,
+        3: 1 / 63 + 1 / 61,  # appears in both lists
+        4: 1 / 62,
+    }
+    assert set(out) == set(exp_scores)
+    for i, s in exp_scores.items():
+        assert out[i][2] == pytest.approx(round(s, 9), abs=0)
+    # 3 fuses highest; 2 and 4 tie on score → doc_id ascending breaks it
+    assert out[3][3] == 1 and out[1][3] == 2
+    assert out[2][3] == 3 and out[4][3] == 4
+    # missing-side ranks surface as nulls, not zeros
+    assert out[1][1] is None and out[4][0] is None
+
+
+def test_rrf_top_cut_and_validation(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.retrieval import rrf_fuse
+
+    a = _ranked(spark, [(i, i) for i in range(1, 8)])
+    b = _ranked(spark, [(i, 8 - i) for i in range(1, 8)])
+    assert rrf_fuse([a, b], "doc_id", top=3).count() == 3
+    with pytest.raises(ValueError, match="at least 2"):
+        rrf_fuse([a], "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        rrf_fuse([a, b], "doc_id", top=0)
+
+
+def test_rrf_three_lists(spark):
+    from techtalk_data_pipeline_snowpark_spark.operators.retrieval import rrf_fuse
+
+    a = _ranked(spark, [(1, 1)])
+    b = _ranked(spark, [(1, 2)])
+    c = _ranked(spark, [(2, 1)])
+    out = {r["doc_id"]: r["rrf"] for r in rrf_fuse([a, b, c], "doc_id").collect()}
+    assert out[1] == pytest.approx(round(1 / 61 + 1 / 62, 9), abs=0)
+    assert out[2] == pytest.approx(round(1 / 61, 9), abs=0)
