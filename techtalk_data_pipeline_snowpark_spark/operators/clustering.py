@@ -159,6 +159,12 @@ def kmeans_fit(
         raise ValueError(f"kmeans_fit: k must be in [1, {_MAX_K}], got {k}")
     if iters < 0:
         raise ValueError(f"kmeans_fit: iters must be >= 0, got {iters}")
+    # NOT rebalanced: the per-iteration assignment is linear work (k folds
+    # × rows) and the ≤ k·d-row update partial-aggregates wherever the
+    # data sits — measured on a one-file input, a defaultParallelism
+    # repartition here costs more in shuffle + checkpoint overhead than
+    # the single-task folds it spreads. The quadratic consumers
+    # (semantic_near_dups, IVF candidate scoring) rebalance themselves.
     qdf = df.select(
         F.col(id_col), quantize_embedding(vec_col, scale).alias("__qv")
     ).persist()
@@ -235,6 +241,12 @@ def semantic_near_dups(
     if num <= 0 or den <= 0 or num > den:
         raise ValueError(f"semantic_near_dups: need 0 < num <= den, got {threshold}")
     mem = assignments.select(id_col, "cluster", "__qv")
+    # spread the quadratic pair work across all cores (the minhash
+    # rebalance): assignment is map-only, so a one-file input reaches this
+    # self-join single-partitioned and the whole O(sum n_i²) dot-product
+    # stage would run on ONE task (measured 7.9 s → ~1 s at sf0.1). One
+    # cheap row shuffle of the assignment frame vs quadratic pair work.
+    mem = mem.repartition(mem.sparkSession.sparkContext.defaultParallelism)
     if cluster_cap is not None:
         if cluster_cap < 1:
             raise ValueError("semantic_near_dups: cluster_cap must be >= 1")

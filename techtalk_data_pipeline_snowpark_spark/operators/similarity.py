@@ -282,22 +282,30 @@ def cosine_topk_kmeans_ivf(
         )
     # score in DOUBLE end-to-end (float folds drift in the 8th decimal
     # and would break the rounded-cosine contract vs a double engine)
+    from .dedup import _bind
+
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    c = corpus.select(
+    # rebalance before the heavy assignment + scoring map work: everything
+    # downstream is map-side against broadcast probes, so a one-file input
+    # would otherwise run the whole candidate-scoring stage on ONE task.
+    src = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    c = src.select(
         F.col(id_col).alias("neighbor_id"),
         dbl.alias("cv"),
         quantize_embedding(vec_col, scale).alias("__qv"),
     )
+    dists = F.array(*[_dist_sq(F.col("__qv"), ct) for ct in centroids])
+    # _bind: the k distance folds are interpreted HOFs (no codegen CSE) —
+    # evaluate the array once, not once per reference.
     c = c.select(
         "neighbor_id",
         "cv",
-        (
-            F.array_position(
-                d := F.array(*[_dist_sq(F.col("__qv"), ct) for ct in centroids]),
-                F.array_min(d),
-            )
-            - F.lit(1)
-        ).cast("long").alias("cluster"),
+        _bind(
+            dists,
+            lambda ds: (F.array_position(ds, F.array_min(ds)) - F.lit(1)).cast(
+                "long"
+            ),
+        ).alias("cluster"),
     )
     qq = queries.select(
         F.col(id_col).alias("query_id"),
