@@ -41,7 +41,7 @@ from .multimodal import (
     sample_video_frames,
     synthesize_media,
 )
-from .retrieval import bm25_topk, doc_term_freqs, tfidf_top_terms
+from .retrieval import bm25_topk, doc_term_freqs, rrf_fuse, tfidf_top_terms
 from .similarity import (
     assign_ivf_cells,
     build_ivf_index,

@@ -45,10 +45,12 @@ __all__ = ["doc_term_freqs", "tfidf_top_terms", "bm25_topk", "rrf_fuse"]
 
 
 def doc_term_freqs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, term, tf, dl) per distinct document term: one explode and one
-    partial-agg'd shuffle on the uniform (doc, term) key. ``dl`` (document
-    length in tokens) is computed before the explode and carried through
-    the aggregation (``max`` — constant within the group)."""
+    """(id_col, term, tf, dl) per distinct document term: one explode and
+    one partial-agg'd shuffle on the uniform (doc, term) key. ``dl``
+    (document length in tokens) is computed before the explode and carried
+    through the aggregation (``max`` — constant within the group)."""
+    if id_col in ("term", "tf", "dl"):
+        raise ValueError(f"id_col collides with an output column: {id_col}")
     toks = _tokens(text_col)
     # spread the tokenize+explode across all cores (the minhash-signature
     # rebalance): a small input (one parquet file → one partition) would
@@ -56,11 +58,11 @@ def doc_term_freqs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # input arrives many-partitioned and this is a cheap rebalance.
     src = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     occ = src.select(
-        F.col(id_col).alias("_id"),
+        F.col(id_col),
         F.size(toks).alias("_dl"),
         F.explode(toks).alias("term"),
     )
-    return occ.groupBy("_id", "term").agg(
+    return occ.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.max("_dl").alias("dl")
     )
 
@@ -79,13 +81,26 @@ def tfidf_top_terms(
     terms (bounded by document length), never a global sort."""
     if top_n <= 0:
         raise ValueError(f"top_n must be positive, got {top_n}")
+    ranked, tf = _tfidf_ranked(df, id_col, text_col, top_n)
+    try:
+        # materialize eagerly (output is docs × top_n rows) so the
+        # persisted tf barrier can be released here rather than leaking
+        # block-store state for the session — the minhash_lsh_candidates
+        # release pattern.
+        return ranked.localCheckpoint(eager=True)
+    finally:
+        tf.unpersist()
+
+
+def _tfidf_ranked(df, id_col, text_col, top_n):
+    """Lazy TF-IDF plan: (ranked frame, persisted tf barrier). The tf
+    persist is load-bearing (the minhash-signature convention): tf feeds
+    BOTH the score projection and the document-frequency aggregation —
+    without it the corpus explode + (doc, term) shuffle run twice. At
+    corpus scale this is the persisted term-frequency table a lexical
+    index keeps anyway."""
     from pyspark import StorageLevel
 
-    # load-bearing reuse barrier (the minhash-signature convention): tf
-    # feeds BOTH the score projection and the document-frequency
-    # aggregation — without it the corpus explode + (doc, term) shuffle
-    # run twice. At corpus scale this is the persisted term-frequency
-    # table a lexical index keeps anyway. Callers may unpersist.
     tf = doc_term_freqs(df, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -95,7 +110,7 @@ def tfidf_top_terms(
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
-            F.col("_id").alias(id_col),
+            id_col,
             "term",
             F.round(
                 F.col("tf")
@@ -107,9 +122,10 @@ def tfidf_top_terms(
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).where(
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= top_n
     )
+    return ranked, tf
 
 
 def bm25_topk(
@@ -137,12 +153,23 @@ def bm25_topk(
     terms = sorted({t for t in query.strip().lower().split() if t})
     if not terms:
         raise ValueError("query must contain at least one token")
+    ranked, tf = _bm25_ranked(df, terms, id_col, text_col, k, k1, b)
+    try:
+        # ≤ k rows: materialize eagerly and release the tf barrier (the
+        # minhash_lsh_candidates release pattern — no leaked cache).
+        return ranked.localCheckpoint(eager=True)
+    finally:
+        tf.unpersist()
+
+
+def _bm25_ranked(df, terms, id_col, text_col, k, k1, b):
+    """Lazy BM25 plan: (ranked frame, persisted tf barrier). The
+    query-filtered tf (≤ |docs|·|terms| rows, tiny) feeds both the score
+    and the per-term document frequencies; without the barrier the
+    full-corpus explode runs twice just to re-filter to the query's
+    terms."""
     from pyspark import StorageLevel
 
-    # reuse barrier: the query-filtered tf (≤ |docs|·|terms| rows, tiny)
-    # feeds both the score and the per-term document frequencies; without
-    # it the full-corpus explode runs twice just to re-filter to the
-    # query's terms. Callers may unpersist.
     tf = (
         doc_term_freqs(df, id_col, text_col)
         .where(F.col("term").isin(terms))
@@ -163,13 +190,12 @@ def bm25_topk(
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .groupBy("_id")
+        .groupBy(id_col)
         .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
-        .select(F.col("_id").alias(id_col), "score")
     )
     top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return top.withColumn("rank", F.row_number().over(w))
+    return top.withColumn("rank", F.row_number().over(w)), tf
 
 
 def rrf_fuse(

@@ -6,8 +6,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from techtalk_data_pipeline_snowpark_spark.operators.retrieval import (
+    _bm25_ranked,
+    _tfidf_ranked,
     bm25_topk,
     doc_term_freqs,
+    rrf_fuse,
     tfidf_top_terms,
 )
 
@@ -81,7 +84,7 @@ def _brute_bm25(corpus, query, k, k1=1.2, b=0.75):
 
 def test_doc_term_freqs_brute_parity(spark):
     got = {
-        (r["_id"], r["term"]): (r["tf"], r["dl"])
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
         for r in doc_term_freqs(_df(spark, 5), "doc_id", "text").collect()
     }
     tf, dl, _, _ = _brute_tf(CORPUS)
@@ -159,9 +162,13 @@ def test_bm25_validation(spark):
 # ------------------------------------------------------------- plans
 
 def test_bm25_plan_takeordered_and_broadcasts(spark):
-    plan = bm25_topk(
-        _df(spark, 7), "spark merge window", "doc_id", "text", k=5
-    )._jdf.queryExecution().executedPlan().toString()
+    # plan shape is asserted on the lazy frame (bm25_topk itself eagerly
+    # checkpoints ≤ k rows and releases the tf barrier)
+    ranked, tf = _bm25_ranked(
+        _df(spark, 7), ["merge", "spark", "window"], "doc_id", "text", 5, 1.2, 0.75
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    tf.unpersist()
     # global cut is a map-side partial top-k, not a full sort
     assert "TakeOrderedAndProject" in plan
     # df-counts and corpus stats ride broadcast joins; the corpus side
@@ -172,9 +179,9 @@ def test_bm25_plan_takeordered_and_broadcasts(spark):
 
 
 def test_tfidf_plan_shape(spark):
-    plan = tfidf_top_terms(
-        _df(spark, 7), "doc_id", "text", 3
-    )._jdf.queryExecution().executedPlan().toString()
+    ranked, tf = _tfidf_ranked(_df(spark, 7), "doc_id", "text", 3)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    tf.unpersist()
     # per-doc ranking window partitions by doc_id with the rank-limit
     # pushed map-side (Partial WindowGroupLimit before the exchange) —
     # no global ordering anywhere
@@ -195,8 +202,6 @@ def _ranked(spark, rows):
 
 
 def test_rrf_brute_parity_and_missing_sides(spark):
-    from techtalk_data_pipeline_snowpark_spark.operators.retrieval import rrf_fuse
-
     a = _ranked(spark, [(1, 1), (2, 2), (3, 3)])
     b = _ranked(spark, [(3, 1), (4, 2)])
     out = {
@@ -220,8 +225,6 @@ def test_rrf_brute_parity_and_missing_sides(spark):
 
 
 def test_rrf_top_cut_and_validation(spark):
-    from techtalk_data_pipeline_snowpark_spark.operators.retrieval import rrf_fuse
-
     a = _ranked(spark, [(i, i) for i in range(1, 8)])
     b = _ranked(spark, [(i, 8 - i) for i in range(1, 8)])
     assert rrf_fuse([a, b], "doc_id", top=3).count() == 3
@@ -232,8 +235,6 @@ def test_rrf_top_cut_and_validation(spark):
 
 
 def test_rrf_three_lists(spark):
-    from techtalk_data_pipeline_snowpark_spark.operators.retrieval import rrf_fuse
-
     a = _ranked(spark, [(1, 1)])
     b = _ranked(spark, [(1, 2)])
     c = _ranked(spark, [(2, 1)])
