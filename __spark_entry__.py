@@ -532,6 +532,50 @@ SELECT 'current' AS snapshot, o_orderkey, o_orderstatus, o_totalprice FROM (
 """
 
 
+def restore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE (rollback to snapshot): a bad mutation batch (UPDATE +
+    DELETE) lands, `LakeTable.restore` rolls the live state back in ONE
+    metadata-only commit — zero data movement, history preserved. The
+    entry returns the restored live read PLUS a post-restore time-travel
+    read of the rolled-back (bad) version, proving restore neither
+    rewrites history nor loses it. Oracle: the restored read is the
+    original table; the bad version is the mutations applied."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="restore_")
+    tbl = LakeTable.create(spark, os.path.join(root, "orders"), orders.schema)
+    tbl.append(orders)
+    v_good = tbl.latest_version()
+    lake_update(
+        tbl,
+        {"o_totalprice": F.col("o_totalprice") * 2},
+        F.col("o_orderstatus") == "F",
+    )
+    lake_delete(tbl, F.col("o_totalprice") > 300000)
+    v_bad = tbl.latest_version()
+    res = tbl.restore(v_good)
+    if res.summary.get("restored_to") != v_good:  # pragma: no cover
+        raise AssertionError("restore summary missing target version")
+    live = tbl.read().withColumn("snapshot", F.lit("restored"))
+    bad = tbl.read(version=v_bad).withColumn("snapshot", F.lit("bad"))
+    return live.unionByName(bad).select(
+        "snapshot", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+_RESTORE_ORACLE = """
+SELECT 'restored' AS snapshot, o_orderkey, o_orderstatus, o_totalprice FROM orders
+UNION ALL
+SELECT 'bad' AS snapshot, o_orderkey, o_orderstatus, o_totalprice FROM (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+) WHERE o_totalprice <= 300000
+"""
+
+
 def wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish (Iceberg branch refs on the lake log): a MERGE
     lands on a BRANCH (metadata fork, shared data files), an audit reads
@@ -3433,6 +3477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crud_update_delete": crud_update_delete,
         "merge_expression_key": merge_expression_key,
         "time_travel_orders": time_travel_orders,
+        "restore_orders": restore_orders,
         "wap_publish_orders": wap_publish_orders,
         "dv_delete_orders": dv_delete_orders,
         "zorder_pruned_scan": zorder_pruned_scan,
@@ -3517,6 +3562,7 @@ def oracle_sql() -> dict[str, str]:
         "crud_update_delete": _CRUD_ORACLE,
         "merge_expression_key": _MERGE_EXPR_ORACLE,
         "time_travel_orders": _TIME_TRAVEL_ORACLE,
+        "restore_orders": _RESTORE_ORACLE,
         "wap_publish_orders": _WAP_ORACLE,
         "dv_delete_orders": _DV_DELETE_ORACLE,
         "zorder_pruned_scan": _ZORDER_ORACLE,

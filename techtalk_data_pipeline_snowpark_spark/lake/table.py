@@ -1601,6 +1601,94 @@ class LakeTable:
     def history(self) -> list[dict]:
         return self.log_entries(self.oldest_version())
 
+    def restore(self, version: int) -> CommitResult:
+        """Iceberg/Delta-style RESTORE (rollback to a snapshot): ONE
+        metadata-only commit that makes the live state equal ``version``'s
+        snapshot — zero data movement, history preserved (the rolled-back
+        versions stay time-travelable until vacuum reclaims them). The ops
+        answer to "the last ingest epoch was bad": restore, then re-ingest.
+
+        The commit is minimal: only files whose meta (rows/bucket/stats/
+        blooms AND accumulated DV/EDV delete refs) differs between the two
+        snapshots are removed/re-added — common undo-last-epoch restores
+        touch just that epoch's files. Schema, bucket layout, and the
+        target's properties are re-stamped wholesale (property keys
+        introduced AFTER the target survive — log replay accumulates
+        properties and cannot delete keys; layout-relevant keys are all
+        overwritten by the target's values).
+
+        Raises ValueError if the target version is the current one, is
+        outside the retained log, or if any of its data/DV/EDV files was
+        already reclaimed by vacuum (beyond the data retention horizon).
+        Concurrency-safe: the commit conditionally puts the next version —
+        a racing writer fails one of the two with ConcurrentCommitError."""
+        latest = self.latest_version()
+        if version == latest:
+            raise ValueError(f"restore({version}): already the live version")
+        if not self.oldest_version() <= version < latest:
+            raise ValueError(
+                f"restore({version}): version outside the retained log "
+                f"[{self.oldest_version()}, {latest}]"
+            )
+        target = self.snapshot(version)
+        current = self.snapshot(latest)
+        if target.num_buckets is None and current.num_buckets is not None:
+            # log replay accumulates num_buckets and cannot unset it — a
+            # restore across a rebucket to an UNBUCKETED target would lie
+            # about the layout. Loud refusal over silent wrong pruning.
+            raise ValueError(
+                f"restore({version}): target predates bucketing "
+                f"(num_buckets None vs {current.num_buckets}) — restore "
+                "cannot unset the bucket layout; rebucket after restoring "
+                "to a bucketed version instead"
+            )
+        needed = set(target.files)
+        for m in target.files.values():
+            needed.update(m.get("dv") or [])
+            needed.update(m.get("edv") or [])
+        missing = sorted(p for p in needed if not self.store.exists(p))
+        if missing:
+            raise ValueError(
+                f"restore({version}): {len(missing)} of the target's files "
+                f"were reclaimed by vacuum (e.g. {missing[0]}) — the target "
+                "is beyond the data retention horizon"
+            )
+        removes = [
+            p for p, m in current.files.items() if target.files.get(p) != m
+        ]
+        adds: list[dict] = []
+        dv: dict[str, list[str]] = {}
+        edv: dict[str, list[str]] = {}
+        for p, m in target.files.items():
+            if current.files.get(p) == m:
+                continue  # byte-identical meta — carry over untouched
+            a = {"path": p, "rows": m.get("rows"), "bucket": m.get("bucket")}
+            if m.get("stats"):
+                a["stats"] = m["stats"]
+            if m.get("bf"):
+                a["bf"] = m["bf"]
+            adds.append(a)
+            if m.get("dv"):
+                dv[p] = list(m["dv"])
+            if m.get("edv"):
+                edv[p] = list(m["edv"])
+        return self.commit_rewrite(
+            adds,
+            removes,
+            operation="restore",
+            schema=target.schema,
+            properties=dict(target.properties),
+            num_buckets=target.num_buckets,
+            dv=dv or None,
+            edv=edv or None,
+            summary={
+                "restored_to": version,
+                "files_readded": len(adds),
+                "files_removed": len(removes),
+            },
+            expected_version=latest + 1,
+        )
+
     # ------------------------------------------------------------- branches
     # Iceberg-style refs, reduced to the linear-log model: a BRANCH is a
     # fork of the main lineage (its own log dir seeded with a checkpoint of
