@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
                         "only files under this row target (plus tombstone "
                         "carriers) instead of whole buckets — constant "
                         "write amplification on a long ingest tail")
+    p.add_argument("--restore-to", type=int, default=None,
+                   help="ops action: metadata-only RESTORE of --table to this "
+                        "snapshot version (rollback of a bad ingest epoch), "
+                        "print the commit summary, and exit — no replay runs")
     p.add_argument("--vacuum-retain", type=int, default=None,
                    help="after replay, vacuum data+metadata keeping the "
                         "last N versions of time travel")
@@ -88,6 +92,20 @@ def main(argv: list[str] | None = None) -> int:
 
     from techtalk_data_pipeline_snowpark_spark.cdc import CdcEngine
     from techtalk_data_pipeline_snowpark_spark.fixtures.generators import change_events
+
+    if args.restore_to is not None:
+        from techtalk_data_pipeline_snowpark_spark.lake import LakeTable
+
+        t = LakeTable(spark, args.table)
+        res = t.restore(args.restore_to)
+        print(json.dumps({
+            "restored_to": args.restore_to,
+            "new_version": res.version,
+            "rows": t.read().count(),
+            **{k: v for k, v in (res.summary or {}).items()
+               if k != "restored_to"},
+        }))
+        return 0
 
     if args.gen_events:
         if not args.events:

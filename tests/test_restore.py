@@ -141,3 +141,21 @@ def test_restore_rolls_back_cdc_lsn_for_replay(spark, tmp_path):
         map(tuple, eng2.table().read().select("repo", "path", "lsn").collect())
     )
     assert a == b
+
+
+def test_restore_cli_flag(spark, tmp_path, capsys):
+    """spark-submit ops surface: --restore-to rolls back and exits 0
+    without touching the replay path (no --events required)."""
+    import json
+
+    from spark_submit_main import main
+
+    t = _mk(spark, tmp_path, n=3)
+    v_good = t.latest_version() - 1
+    rc = main(["--table", str(tmp_path / "t"), "--restore-to", str(v_good)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["restored_to"] == v_good
+    assert out["rows"] == 20
+    assert out["new_version"] == t.latest_version()
+    assert _rows(t) == _rows(t, version=v_good)
