@@ -77,6 +77,7 @@ def merge_into(
     validate_unique_keys: bool = False,
     touched_buckets: list[int] | None = None,
     snap=None,
+    rebase: bool = False,
 ) -> CommitResult:
     """MERGE INTO table USING source ON keys.
 
@@ -106,6 +107,9 @@ def merge_into(
     (the CDC engine reads the snapshot once per epoch and shares it).
     Optimistic concurrency still holds — the commit pins
     ``expected_version = snap.version + 1`` and fails on a racing writer.
+    With ``rebase=True`` a lost race retries metadata-only when the
+    bucket layout proves the racing commits touched disjoint keys
+    (:meth:`LakeTable._validate_rebase`); the rewrite is never redone.
     """
     snap = snap if snap is not None else table.snapshot()
     on_expr: Column | None = None
@@ -335,6 +339,7 @@ def merge_into(
         properties=properties,
         summary=summary,
         expected_version=snap.version + 1,
+        rebase_from=snap if rebase else None,
     )
 
 

@@ -288,6 +288,110 @@ class LakeTable:
                 pass
         return CommitResult(version=version, summary=entry.get("summary", {}))
 
+    # ------------------------------------------------- optimistic rebase
+    # Iceberg-style retryable commits: a writer that loses the conditional
+    # put does NOT redo its data work — its files are already staged under
+    # the table root — it re-validates the commit entry against the new
+    # latest snapshot and retries the metadata put. Opt-in (rebase=True on
+    # append / rebase_from on commit_rewrite): the CDC engine's
+    # competing-replayer exactly-once deliberately RELIES on the conflict
+    # surfacing, and its epoch commits carry the LSN-watermark property,
+    # which the property-key-conflict rule below refuses to rebase anyway.
+    def _commit_or_rebase(
+        self, entry: dict, base: Snapshot, max_rebase_retries: int = 5
+    ) -> CommitResult:
+        entry = dict(entry)
+        expected = base.version + 1
+        for _ in range(max_rebase_retries + 1):
+            try:
+                return self._commit(entry, expected_version=expected)
+            except ConcurrentCommitError:
+                new = self.snapshot()
+                if new.version < expected:
+                    raise  # not a plain lost-race (log went backwards?)
+                # always re-validate against the ORIGINAL base: the entry's
+                # adds/removes were computed from that snapshot
+                self._validate_rebase(entry, base, new)
+                entry["summary"] = {
+                    **entry.get("summary", {}),
+                    "rebased_over": new.version - base.version,
+                }
+                expected = new.version + 1
+        raise ConcurrentCommitError(
+            f"gave up after {max_rebase_retries} rebase retries at {self.root}"
+        )
+
+    def _validate_rebase(
+        self, entry: dict, base: Snapshot, new: Snapshot
+    ) -> None:
+        """Raise ConcurrentCommitError unless ``entry`` (computed against
+        ``base``) is provably safe to commit on top of ``new``.
+
+        Safe means: no DDL on either side (schema / bucket-layout changes),
+        no property-key contention (two CDC replayers racing on the LSN
+        watermark must keep conflicting loudly), every file the entry
+        removes or attaches deletes to is byte-identical in ``new`` (a
+        racing rewrite/DV there would be silently lost), and — for
+        remove-carrying commits like MERGE/DELETE/compact, whose
+        correctness claims key uniqueness — the key-partitioned bucket
+        layout proves disjointness: the entry's touched buckets must not
+        intersect any intervening commit's. Pure appends commute and skip
+        the bucket check."""
+
+        def _refuse(why: str):
+            raise ConcurrentCommitError(
+                f"cannot rebase {entry.get('operation')} from v{base.version} "
+                f"onto v{new.version} at {self.root}: {why}"
+            )
+
+        if "schema" in entry or "num_buckets" in entry:
+            _refuse("entry carries DDL (schema/bucket layout)")
+        if (
+            new.num_buckets != base.num_buckets
+            or new.key_cols != base.key_cols
+            or new.schema != base.schema
+        ):
+            _refuse("schema or bucket layout changed underneath")
+        inter = self.log_entries(base.version + 1, new.version)
+        ours = set((entry.get("properties") or {}).keys())
+        for e in inter:
+            if "schema" in e or "num_buckets" in e:
+                _refuse(f"intervening v{e['version']} carries DDL")
+            contended = ours & set((e.get("properties") or {}).keys())
+            if contended:
+                _refuse(
+                    f"intervening v{e['version']} set the same properties "
+                    f"{sorted(contended)}"
+                )
+        touched = set(entry.get("remove") or ())
+        touched |= set(entry.get("dv") or ())
+        touched |= set(entry.get("edv") or ())
+        for p in sorted(touched):
+            if new.files.get(p) != base.files.get(p):
+                _refuse(f"racing writer rewrote/deleted/DV'd {p}")
+        if not touched:
+            return  # pure append — commutes with everything validated above
+
+        def _bucket(path: str):
+            m = base.files.get(path) or new.files.get(path) or {}
+            return m.get("bucket")
+
+        mine = {a.get("bucket") for a in (entry.get("add") or ())}
+        mine |= {_bucket(p) for p in touched}
+        for e in inter:
+            theirs = {a.get("bucket") for a in (e.get("add") or ())}
+            theirs |= {_bucket(p) for p in (e.get("remove") or ())}
+            theirs |= {_bucket(p) for p in (e.get("dv") or ())}
+            theirs |= {_bucket(p) for p in (e.get("edv") or ())}
+            if None in mine or None in theirs:
+                _refuse("unbucketed files — cannot prove key disjointness")
+            overlap = mine & theirs
+            if overlap:
+                _refuse(
+                    f"bucket overlap {sorted(overlap)[:4]} with intervening "
+                    f"v{e['version']} — keys may collide"
+                )
+
     # ---------------------------------------------------------- checkpoints
     def _checkpoint_path(self, version: int) -> str:
         """Root-relative checkpoint path (a store key)."""
@@ -1035,22 +1139,32 @@ class LakeTable:
             expected_version=snap.version + 1,
         )
 
-    def append(self, df: DataFrame, properties: dict | None = None) -> CommitResult:
+    def append(
+        self,
+        df: DataFrame,
+        properties: dict | None = None,
+        rebase: bool = False,
+    ) -> CommitResult:
+        """Append ``df``. With ``rebase=True``, a lost commit race retries
+        metadata-only against the new latest snapshot (appends commute) —
+        the staged data files are reused, never rewritten. Refuses to
+        rebase over DDL or a property-key conflict (see
+        :meth:`_validate_rebase`)."""
         snap = self.snapshot()
         adds = self._stage_dataframe(
             df, snap.schema, snap.num_buckets, snap.key_cols,
             bloom_cols=_bloom_cols_of(snap),
         )
-        return self._commit(
-            {
-                "operation": "append",
-                "add": adds,
-                "remove": [],
-                "properties": properties or {},
-                "summary": {},
-            },
-            expected_version=snap.version + 1,
-        )
+        entry = {
+            "operation": "append",
+            "add": adds,
+            "remove": [],
+            "properties": properties or {},
+            "summary": {},
+        }
+        if rebase:
+            return self._commit_or_rebase(entry, snap)
+        return self._commit(entry, expected_version=snap.version + 1)
 
     def overwrite(
         self, df: DataFrame, schema: T.StructType | None = None, properties: dict | None = None
@@ -1085,6 +1199,7 @@ class LakeTable:
         dv: dict[str, list[str]] | None = None,
         edv: dict[str, list[str]] | None = None,
         num_buckets: int | None = None,
+        rebase_from: "Snapshot | None" = None,
     ) -> CommitResult:
         entry = {
             "operation": operation,
@@ -1101,6 +1216,11 @@ class LakeTable:
             entry["schema"] = schema.json()
         if num_buckets is not None:
             entry["num_buckets"] = num_buckets
+        if rebase_from is not None:
+            # optimistic retryable commit: adds/removes were computed
+            # against rebase_from — on a lost race, re-validate and retry
+            # metadata-only instead of redoing the rewrite
+            return self._commit_or_rebase(entry, rebase_from)
         return self._commit(entry, expected_version=expected_version)
 
     # ------------------------------------------------------------- utility

@@ -1,0 +1,236 @@
+"""Optimistic commit rebase (Iceberg-style retryable commits).
+
+A writer that loses the conditional-put race reuses its already-staged
+data files and retries the metadata commit against the new latest
+snapshot — appends always commute; remove-carrying commits (MERGE)
+rebase only when the key-partitioned bucket layout proves the racing
+commits touched disjoint keys. Reference parity note: the reference
+delegates all write concurrency to Snowflake's transactional MERGE
+(SnowflakeUtilsOld.scala:84-109); this is the lake-format equivalent.
+"""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from techtalk_data_pipeline_snowpark_spark.lake import (
+    ConcurrentCommitError,
+    LakeTable,
+    bucket_expr,
+)
+from techtalk_data_pipeline_snowpark_spark.lake.merge import merge_into
+
+SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+)
+
+N_BUCKETS = 8
+
+
+def _mk(spark, tmp_path, ids=range(40)):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["id"], num_buckets=N_BUCKETS
+    )
+    t.append(_df(spark, ids))
+    return t
+
+
+def _df(spark, ids, v_mult=2):
+    return spark.createDataFrame(
+        [(int(i), int(i) * v_mult) for i in ids], SCHEMA
+    )
+
+
+def _ids_by_bucket(spark):
+    """id → bucket under the table's layout, grouped."""
+    rows = (
+        spark.range(200)
+        .select("id", bucket_expr(["id"], N_BUCKETS, SCHEMA).alias("b"))
+        .collect()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r["b"], []).append(r["id"])
+    return by
+
+
+def _rows(t):
+    return sorted((r["id"], r["v"]) for r in t.read().collect())
+
+
+# --------------------------------------------------------------- appends
+def test_append_rebase_wins_lost_race(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    stale = t.snapshot()
+    adds = t._stage_dataframe(
+        _df(spark, range(100, 110)), stale.schema, N_BUCKETS, ["id"]
+    )
+    entry = {
+        "operation": "append",
+        "add": adds,
+        "remove": [],
+        "properties": {},
+        "summary": {},
+    }
+    # a racing writer takes stale.version + 1 out from under us
+    LakeTable(spark, t.root).append(_df(spark, range(200, 210)))
+    res = t._commit_or_rebase(entry, stale)
+    assert res.summary["rebased_over"] == 1
+    got = {i for i, _ in _rows(t)}
+    assert set(range(40)) | set(range(100, 110)) | set(range(200, 210)) == got
+
+
+def test_append_rebase_threaded_race(spark, tmp_path):
+    t = _mk(spark, tmp_path, ids=range(10))
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def writer(lo):
+        try:
+            handle = LakeTable(spark, t.root)
+            barrier.wait()
+            handle.append(_df(spark, range(lo, lo + 10)), rebase=True)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(lo,)) for lo in (300, 400)]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert not errs
+    assert {i for i, _ in _rows(t)} == (
+        set(range(10)) | set(range(300, 310)) | set(range(400, 410))
+    )
+
+
+def test_append_rebase_refuses_ddl_underneath(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    stale = t.snapshot()
+    adds = t._stage_dataframe(
+        _df(spark, range(100, 105)), stale.schema, N_BUCKETS, ["id"]
+    )
+    entry = {
+        "operation": "append",
+        "add": adds,
+        "remove": [],
+        "properties": {},
+        "summary": {},
+    }
+    # racing overwrite carries schema — DDL, not rebase-able over
+    LakeTable(spark, t.root).overwrite(_df(spark, range(5)))
+    with pytest.raises(ConcurrentCommitError, match="DDL"):
+        t._commit_or_rebase(entry, stale)
+
+
+def test_append_rebase_refuses_property_contention(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    stale = t.snapshot()
+    adds = t._stage_dataframe(
+        _df(spark, range(100, 105)), stale.schema, N_BUCKETS, ["id"]
+    )
+    entry = {
+        "operation": "append",
+        "add": adds,
+        "remove": [],
+        "properties": {"cdc.last_lsn": "7"},
+        "summary": {},
+    }
+    # the exactly-once guard: a racing commit advancing the same watermark
+    # property must keep conflicting loudly (competing CDC replayers)
+    LakeTable(spark, t.root).append(
+        _df(spark, range(200, 205)), properties={"cdc.last_lsn": "9"}
+    )
+    with pytest.raises(ConcurrentCommitError, match="properties"):
+        t._commit_or_rebase(entry, stale)
+
+
+# ---------------------------------------------------------------- merges
+def test_merge_rebase_over_disjoint_bucket_append(spark, tmp_path):
+    by = _ids_by_bucket(spark)
+    buckets = sorted(by)
+    merge_ids = by[buckets[0]][:4]
+    other_ids = [i for i in by[buckets[1]] if i >= 40][:4]
+    t = _mk(spark, tmp_path)
+    stale = t.snapshot()
+    # racing append lands in a DIFFERENT bucket than the merge touches
+    LakeTable(spark, t.root).append(_df(spark, other_ids, v_mult=5))
+    res = merge_into(
+        t, _df(spark, merge_ids, v_mult=9), on=["id"], snap=stale, rebase=True
+    )
+    assert res.summary["rebased_over"] == 1
+    rows = dict(_rows(t))
+    for i in merge_ids:
+        assert rows[i] == i * 9  # merge applied
+    for i in other_ids:
+        assert rows[i] == i * 5  # racing append survived
+
+
+def test_merge_rebase_refuses_overlapping_bucket(spark, tmp_path):
+    by = _ids_by_bucket(spark)
+    b = sorted(by)[0]
+    merge_ids = by[b][:4]
+    same_bucket_new = [i for i in by[b] if i >= 40][:4]
+    t = _mk(spark, tmp_path)
+    stale = t.snapshot()
+    LakeTable(spark, t.root).append(_df(spark, same_bucket_new))
+    with pytest.raises(ConcurrentCommitError, match="bucket overlap"):
+        merge_into(
+            t, _df(spark, merge_ids, v_mult=9), on=["id"], snap=stale, rebase=True
+        )
+
+
+def test_merge_rebase_refuses_racing_rewrite(spark, tmp_path):
+    by = _ids_by_bucket(spark)
+    merge_ids = by[sorted(by)[0]][:4]
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, range(40, 80)))  # second file per bucket
+    stale = t.snapshot()
+    # compaction rewrites every file — the merge's removes are stale
+    n = LakeTable(spark, t.root).compact()
+    assert n.summary.get("files_rewritten") or n.version > stale.version
+    with pytest.raises(ConcurrentCommitError, match="rewrote"):
+        merge_into(
+            t, _df(spark, merge_ids, v_mult=9), on=["id"], snap=stale, rebase=True
+        )
+
+
+def test_merge_without_rebase_still_conflicts(spark, tmp_path):
+    """Default behavior unchanged: the CDC engine's competing-replayer
+    exactly-once relies on the loud conflict."""
+    by = _ids_by_bucket(spark)
+    merge_ids = by[sorted(by)[0]][:4]
+    t = _mk(spark, tmp_path)
+    stale = t.snapshot()
+    LakeTable(spark, t.root).append(_df(spark, [150]))
+    with pytest.raises(ConcurrentCommitError):
+        merge_into(t, _df(spark, merge_ids, v_mult=9), on=["id"], snap=stale)
+
+
+def test_rebase_gives_up_after_max_retries(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    stale = t.snapshot()
+    adds = t._stage_dataframe(
+        _df(spark, range(100, 103)), stale.schema, N_BUCKETS, ["id"]
+    )
+    entry = {
+        "operation": "append",
+        "add": adds,
+        "remove": [],
+        "properties": {},
+        "summary": {},
+    }
+    other = LakeTable(spark, t.root)
+    real = t._commit
+
+    def always_raced(e, expected_version=None):
+        # someone else takes every version we aim for
+        other.append(_df(spark, [500 + expected_version]))
+        return real(e, expected_version=expected_version)
+
+    t._commit = always_raced
+    try:
+        with pytest.raises(ConcurrentCommitError, match="gave up"):
+            t._commit_or_rebase(entry, stale, max_rebase_retries=2)
+    finally:
+        t._commit = real
