@@ -298,7 +298,11 @@ class LakeTable:
     # surfacing, and its epoch commits carry the LSN-watermark property,
     # which the property-key-conflict rule below refuses to rebase anyway.
     def _commit_or_rebase(
-        self, entry: dict, base: Snapshot, max_rebase_retries: int = 5
+        self,
+        entry: dict,
+        base: Snapshot,
+        max_rebase_retries: int = 5,
+        key_disjoint: bool = True,
     ) -> CommitResult:
         entry = dict(entry)
         expected = base.version + 1
@@ -311,7 +315,7 @@ class LakeTable:
                     raise  # not a plain lost-race (log went backwards?)
                 # always re-validate against the ORIGINAL base: the entry's
                 # adds/removes were computed from that snapshot
-                self._validate_rebase(entry, base, new)
+                self._validate_rebase(entry, base, new, key_disjoint)
                 entry["summary"] = {
                     **entry.get("summary", {}),
                     "rebased_over": new.version - base.version,
@@ -322,7 +326,11 @@ class LakeTable:
         )
 
     def _validate_rebase(
-        self, entry: dict, base: Snapshot, new: Snapshot
+        self,
+        entry: dict,
+        base: Snapshot,
+        new: Snapshot,
+        key_disjoint: bool = True,
     ) -> None:
         """Raise ConcurrentCommitError unless ``entry`` (computed against
         ``base``) is provably safe to commit on top of ``new``.
@@ -332,11 +340,15 @@ class LakeTable:
         watermark must keep conflicting loudly), every file the entry
         removes or attaches deletes to is byte-identical in ``new`` (a
         racing rewrite/DV there would be silently lost), and — for
-        remove-carrying commits like MERGE/DELETE/compact, whose
-        correctness claims key uniqueness — the key-partitioned bucket
-        layout proves disjointness: the entry's touched buckets must not
-        intersect any intervening commit's. Pure appends commute and skip
-        the bucket check."""
+        remove-carrying commits that claim key uniqueness (MERGE/DELETE,
+        ``key_disjoint=True``) — the key-partitioned bucket layout proves
+        disjointness: the entry's touched buckets must not intersect any
+        intervening commit's. Pure appends commute and skip the bucket
+        check, as do row-preserving rewrites (compact/Z-order,
+        ``key_disjoint=False``): their adds hold exactly their removes'
+        rows, so a same-bucket racing APPEND coexists safely — only a
+        racing rewrite/DV of one of their victims (caught by the
+        meta-identity check) invalidates them."""
 
         def _refuse(why: str):
             raise ConcurrentCommitError(
@@ -369,8 +381,8 @@ class LakeTable:
         for p in sorted(touched):
             if new.files.get(p) != base.files.get(p):
                 _refuse(f"racing writer rewrote/deleted/DV'd {p}")
-        if not touched:
-            return  # pure append — commutes with everything validated above
+        if not touched or not key_disjoint:
+            return  # append / row-preserving rewrite — commutes (see above)
 
         def _bucket(path: str):
             m = base.files.get(path) or new.files.get(path) or {}
@@ -1232,6 +1244,7 @@ class LakeTable:
         zorder_bits: int = 4,
         bin_pack_rows: int | None = None,
         persist_clustering: bool = True,
+        rebase: bool = False,
     ) -> CommitResult:
         """OPTIMIZE: rewrite buckets whose file count exceeds the target
         into consolidated files (1 file per compacted bucket). The row set
@@ -1495,14 +1508,20 @@ class LakeTable:
                 properties = {PROP_CLUSTER_BY: json.dumps(spec)}
         if bin_pack_rows:
             summary["bin_pack_rows"] = int(bin_pack_rows)
-        return self.commit_rewrite(
-            adds=adds,
-            removes=victims,
-            operation="compact",
-            summary=summary,
-            properties=properties,
-            expected_version=snap.version + 1,
-        )
+        entry: dict = {
+            "operation": "compact",
+            "add": adds,
+            "remove": victims,
+            "properties": properties or {},
+            "summary": summary,
+        }
+        if rebase:
+            # background maintenance must not lose to the ingest stream:
+            # compaction preserves rows, so a same-bucket racing append
+            # coexists — rebase metadata-only instead of redoing the
+            # rewrite (key_disjoint=False skips the merge-only bucket rule)
+            return self._commit_or_rebase(entry, snap, key_disjoint=False)
+        return self._commit(entry, expected_version=snap.version + 1)
 
     def cluster_write_args(
         self,

@@ -234,3 +234,55 @@ def test_rebase_gives_up_after_max_retries(spark, tmp_path):
             t._commit_or_rebase(entry, stale, max_rebase_retries=2)
     finally:
         t._commit = real
+
+
+# ------------------------------------------------------------- compaction
+def test_compact_rebase_over_same_bucket_append(spark, tmp_path):
+    """Background compaction must not lose to the ingest stream: a racing
+    append — even into a bucket being compacted — coexists, because
+    compaction preserves rows."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, range(40, 80)))  # 2 files/bucket → victims exist
+    before = _rows(t)
+
+    other = LakeTable(spark, t.root)
+    real = t._commit
+    raced = {}
+
+    def race_once(e, expected_version=None):
+        if not raced:
+            raced["y"] = other.append(_df(spark, range(100, 140)))
+        return real(e, expected_version=expected_version)
+
+    t._commit = race_once
+    try:
+        res = t.compact(rebase=True)
+    finally:
+        t._commit = real
+    assert res.summary["rebased_over"] == 1
+    assert res.summary["files_compacted"] > 0
+    # every pre-compact row AND the racing append's rows survive
+    assert _rows(t) == sorted(before + [(i, i * 2) for i in range(100, 140)])
+    # changelog invariant holds across a rebased compact: no net change
+    assert t.read_changelog(res.version, res.version).count() == 0
+
+
+def test_compact_rebase_refuses_racing_merge_on_victim(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, range(40, 80)))
+    other = LakeTable(spark, t.root)
+    real = t._commit
+
+    def race_once(e, expected_version=None):
+        if e.get("operation") == "compact" and "raced" not in e.get("summary", {}):
+            e.setdefault("summary", {})["raced"] = True
+            # racing MERGE rewrites victim files in-place
+            merge_into(other, _df(spark, [0, 1, 2], v_mult=7), on=["id"])
+        return real(e, expected_version=expected_version)
+
+    t._commit = race_once
+    try:
+        with pytest.raises(ConcurrentCommitError, match="rewrote"):
+            t.compact(rebase=True)
+    finally:
+        t._commit = real
