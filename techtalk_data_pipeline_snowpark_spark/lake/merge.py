@@ -156,6 +156,15 @@ def merge_into(
         and list(keys) == list(snap.key_cols)
         and bucket_layout_trusted(snap)
     )
+    if rebase and not can_prune:
+        # rebase safety is PROVEN by bucket disjointness — when pruning is
+        # unsound (expression ON, non-bucket keys, unbucketed/untrusted
+        # layout) a racing row anywhere could match this merge, so there
+        # is no metadata-only proof. Fail fast at the call, not at a race.
+        raise ValueError(
+            "merge rebase=True requires bucket-pruned merges (named keys "
+            "equal to the table's bucketing keys on a trusted layout)"
+        )
     if can_prune:
         # callers that already aggregated per-bucket stats (the CDC engine's
         # offsets pass) hand the bucket list in — saves one source scan.
@@ -340,6 +349,7 @@ def merge_into(
         summary=summary,
         expected_version=snap.version + 1,
         rebase_from=snap if rebase else None,
+        claim_buckets=buckets if rebase else None,
     )
 
 

@@ -303,9 +303,13 @@ class LakeTable:
         base: Snapshot,
         max_rebase_retries: int = 5,
         key_disjoint: bool = True,
+        claim_buckets: list[int] | None = None,
     ) -> CommitResult:
         entry = dict(entry)
         expected = base.version + 1
+        validated_to = base.version  # entries ≤ this already passed per-
+        # entry checks — each retry only fetches/validates the newly landed
+        # tail (meta-identity re-runs in full: it is dict lookups, no I/O)
         for _ in range(max_rebase_retries + 1):
             try:
                 return self._commit(entry, expected_version=expected)
@@ -315,7 +319,15 @@ class LakeTable:
                     raise  # not a plain lost-race (log went backwards?)
                 # always re-validate against the ORIGINAL base: the entry's
                 # adds/removes were computed from that snapshot
-                self._validate_rebase(entry, base, new, key_disjoint)
+                self._validate_rebase(
+                    entry,
+                    base,
+                    new,
+                    key_disjoint,
+                    from_version=validated_to,
+                    claim_buckets=claim_buckets,
+                )
+                validated_to = new.version
                 entry["summary"] = {
                     **entry.get("summary", {}),
                     "rebased_over": new.version - base.version,
@@ -331,6 +343,8 @@ class LakeTable:
         base: Snapshot,
         new: Snapshot,
         key_disjoint: bool = True,
+        from_version: int | None = None,
+        claim_buckets: list[int] | None = None,
     ) -> None:
         """Raise ConcurrentCommitError unless ``entry`` (computed against
         ``base``) is provably safe to commit on top of ``new``.
@@ -339,16 +353,23 @@ class LakeTable:
         no property-key contention (two CDC replayers racing on the LSN
         watermark must keep conflicting loudly), every file the entry
         removes or attaches deletes to is byte-identical in ``new`` (a
-        racing rewrite/DV there would be silently lost), and — for
-        remove-carrying commits that claim key uniqueness (MERGE/DELETE,
-        ``key_disjoint=True``) — the key-partitioned bucket layout proves
-        disjointness: the entry's touched buckets must not intersect any
-        intervening commit's. Pure appends commute and skip the bucket
-        check, as do row-preserving rewrites (compact/Z-order,
-        ``key_disjoint=False``): their adds hold exactly their removes'
-        rows, so a same-bucket racing APPEND coexists safely — only a
-        racing rewrite/DV of one of their victims (caught by the
-        meta-identity check) invalidates them."""
+        racing rewrite/DV there would be silently lost), and — for commits
+        that claim key uniqueness (MERGE/DELETE, ``key_disjoint=True``) —
+        the key-partitioned bucket layout proves disjointness: the buckets
+        of the entry's adds AND removes must not intersect any intervening
+        commit's. The adds matter even with zero removes: an insert-only
+        merge into an empty bucket still claims its keys are absent, and a
+        racing insert of the same key would silently duplicate it. Pure
+        appends (``key_disjoint=False`` from :meth:`append`) commute, as
+        do row-preserving rewrites (``compact(rebase=True)``): their adds
+        hold exactly their removes' rows, so a same-bucket racing APPEND
+        coexists safely — only a racing rewrite/DV of a victim (caught by
+        the meta-identity check) invalidates them.
+
+        ``from_version``: per-entry checks (DDL/properties/buckets) are
+        validated only for intervening commits AFTER this version — the
+        retry loop passes its high-water mark so sustained contention does
+        not re-read the whole intervening log every retry."""
 
         def _refuse(why: str):
             raise ConcurrentCommitError(
@@ -364,7 +385,9 @@ class LakeTable:
             or new.schema != base.schema
         ):
             _refuse("schema or bucket layout changed underneath")
-        inter = self.log_entries(base.version + 1, new.version)
+        inter = self.log_entries(
+            max(base.version, from_version or 0) + 1, new.version
+        )
         ours = set((entry.get("properties") or {}).keys())
         for e in inter:
             if "schema" in e or "num_buckets" in e:
@@ -381,14 +404,30 @@ class LakeTable:
         for p in sorted(touched):
             if new.files.get(p) != base.files.get(p):
                 _refuse(f"racing writer rewrote/deleted/DV'd {p}")
-        if not touched or not key_disjoint:
+        if not key_disjoint:
             return  # append / row-preserving rewrite — commutes (see above)
 
-        def _bucket(path: str):
-            m = base.files.get(path) or new.files.get(path) or {}
-            return m.get("bucket")
+        # path → bucket for files the intervening commits added AND later
+        # removed (e.g. appended then compacted away): absent from both
+        # snapshots, but their bucket is recorded in the adding entry
+        inter_add_buckets = {
+            a.get("path"): a.get("bucket")
+            for e in inter
+            for a in (e.get("add") or ())
+        }
 
-        mine = {a.get("bucket") for a in (entry.get("add") or ())}
+        def _bucket(path: str):
+            m = base.files.get(path) or new.files.get(path)
+            if m is not None:
+                return m.get("bucket")
+            return inter_add_buckets.get(path)
+
+        # a MERGE's conflict set is its READ set: every bucket its source
+        # keys hash to (claim_buckets) — a bloom-skipped file or a
+        # suppressed insert is still a "key absent/unchanged" decision
+        # made against the base snapshot. adds/removes alone under-claim.
+        mine = set(claim_buckets or ())
+        mine |= {a.get("bucket") for a in (entry.get("add") or ())}
         mine |= {_bucket(p) for p in touched}
         for e in inter:
             theirs = {a.get("bucket") for a in (e.get("add") or ())}
@@ -1175,7 +1214,8 @@ class LakeTable:
             "summary": {},
         }
         if rebase:
-            return self._commit_or_rebase(entry, snap)
+            # appends never claim key uniqueness — skip the bucket rule
+            return self._commit_or_rebase(entry, snap, key_disjoint=False)
         return self._commit(entry, expected_version=snap.version + 1)
 
     def overwrite(
@@ -1212,6 +1252,8 @@ class LakeTable:
         edv: dict[str, list[str]] | None = None,
         num_buckets: int | None = None,
         rebase_from: "Snapshot | None" = None,
+        key_disjoint: bool = True,
+        claim_buckets: list[int] | None = None,
     ) -> CommitResult:
         entry = {
             "operation": operation,
@@ -1232,7 +1274,12 @@ class LakeTable:
             # optimistic retryable commit: adds/removes were computed
             # against rebase_from — on a lost race, re-validate and retry
             # metadata-only instead of redoing the rewrite
-            return self._commit_or_rebase(entry, rebase_from)
+            return self._commit_or_rebase(
+                entry,
+                rebase_from,
+                key_disjoint=key_disjoint,
+                claim_buckets=claim_buckets,
+            )
         return self._commit(entry, expected_version=expected_version)
 
     # ------------------------------------------------------------- utility
@@ -1508,20 +1555,20 @@ class LakeTable:
                 properties = {PROP_CLUSTER_BY: json.dumps(spec)}
         if bin_pack_rows:
             summary["bin_pack_rows"] = int(bin_pack_rows)
-        entry: dict = {
-            "operation": "compact",
-            "add": adds,
-            "remove": victims,
-            "properties": properties or {},
-            "summary": summary,
-        }
-        if rebase:
-            # background maintenance must not lose to the ingest stream:
-            # compaction preserves rows, so a same-bucket racing append
-            # coexists — rebase metadata-only instead of redoing the
-            # rewrite (key_disjoint=False skips the merge-only bucket rule)
-            return self._commit_or_rebase(entry, snap, key_disjoint=False)
-        return self._commit(entry, expected_version=snap.version + 1)
+        # rebase: background maintenance must not lose to the ingest
+        # stream — compaction preserves rows, so a same-bucket racing
+        # append coexists and key_disjoint=False skips the merge-only
+        # bucket rule; a rewritten/DV'd victim still refuses
+        return self.commit_rewrite(
+            adds=adds,
+            removes=victims,
+            operation="compact",
+            summary=summary,
+            properties=properties,
+            expected_version=snap.version + 1,
+            rebase_from=snap if rebase else None,
+            key_disjoint=False,
+        )
 
     def cluster_write_args(
         self,

@@ -76,7 +76,7 @@ def test_append_rebase_wins_lost_race(spark, tmp_path):
     }
     # a racing writer takes stale.version + 1 out from under us
     LakeTable(spark, t.root).append(_df(spark, range(200, 210)))
-    res = t._commit_or_rebase(entry, stale)
+    res = t._commit_or_rebase(entry, stale, key_disjoint=False)
     assert res.summary["rebased_over"] == 1
     got = {i for i, _ in _rows(t)}
     assert set(range(40)) | set(range(100, 110)) | set(range(200, 210)) == got
@@ -231,7 +231,9 @@ def test_rebase_gives_up_after_max_retries(spark, tmp_path):
     t._commit = always_raced
     try:
         with pytest.raises(ConcurrentCommitError, match="gave up"):
-            t._commit_or_rebase(entry, stale, max_rebase_retries=2)
+            t._commit_or_rebase(
+                entry, stale, max_rebase_retries=2, key_disjoint=False
+            )
     finally:
         t._commit = real
 
@@ -286,3 +288,73 @@ def test_compact_rebase_refuses_racing_merge_on_victim(spark, tmp_path):
             t.compact(rebase=True)
     finally:
         t._commit = real
+
+
+# ------------------------------------------------- review-found edge cases
+def test_merge_rebase_claims_read_set_not_just_writes(spark, tmp_path):
+    """A no-op merge (nothing matched, inserts suppressed) still DECIDED
+    'these keys are absent' against its base — a racing insert of one of
+    those keys must refuse the rebase, or re-running the merge would have
+    updated the racer's row and the stale commit silently loses that."""
+    by = _ids_by_bucket(spark)
+    b_a, b_b = sorted(by)[:2]
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["id"], num_buckets=N_BUCKETS
+    )
+    t.append(_df(spark, by[b_a][:5]))  # bucket b_b stays empty
+    stale = t.snapshot()
+    probe = by[b_b][:2]
+    # racing writer inserts one of the probe keys
+    LakeTable(spark, t.root).append(_df(spark, probe[:1], v_mult=5))
+    with pytest.raises(ConcurrentCommitError, match="bucket overlap"):
+        merge_into(
+            t,
+            _df(spark, probe, v_mult=9),
+            on=["id"],
+            when_not_matched_insert=False,
+            snap=stale,
+            rebase=True,
+        )
+
+
+def test_merge_rebase_requires_sound_pruning(spark, tmp_path):
+    """Expression-ON / non-bucket-key merges have no metadata disjointness
+    proof — rebase=True fails fast at the call."""
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="bucket-pruned"):
+        merge_into(
+            t,
+            _df(spark, range(5), v_mult=9).withColumnRenamed("id", "k"),
+            on=F.expr("t.id = s.k"),
+            rebase=True,
+        )
+    with pytest.raises(ValueError, match="bucket-pruned"):
+        merge_into(t, _df(spark, range(5), v_mult=9), on=["v"], rebase=True)
+
+
+def test_merge_rebase_over_intervening_add_then_compact(spark, tmp_path):
+    """A file appended AND compacted away by intervening commits lives in
+    neither snapshot — its bucket comes from the adding entry, so a
+    provably-disjoint rebase still succeeds (no spurious None refusal)."""
+    by = _ids_by_bucket(spark)
+    b_merge, b_noise = sorted(by)[:2]
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["id"], num_buckets=N_BUCKETS
+    )
+    t.append(_df(spark, by[b_merge][:4] + by[b_noise][:4]))
+    stale = t.snapshot()
+    other = LakeTable(spark, t.root)
+    noise_new = [i for i in by[b_noise] if i >= 100][:4]
+    other.append(_df(spark, noise_new[:2]))   # bucket b_noise: 2 files
+    other.append(_df(spark, noise_new[2:]))   # bucket b_noise: 3 files
+    res_c = other.compact()                   # rewrites b_noise (and b_merge? no: 1 file)
+    assert res_c.summary["files_compacted"] > 0
+    res = merge_into(
+        t, _df(spark, by[b_merge][:4], v_mult=9), on=["id"], snap=stale, rebase=True
+    )
+    assert res.summary["rebased_over"] == 3
+    rows = dict(_rows(t))
+    for i in by[b_merge][:4]:
+        assert rows[i] == i * 9
+    for i in noise_new:
+        assert rows[i] == i * 2
