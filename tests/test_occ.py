@@ -358,3 +358,78 @@ def test_merge_rebase_over_intervening_add_then_compact(spark, tmp_path):
         assert rows[i] == i * 9
     for i in noise_new:
         assert rows[i] == i * 2
+
+
+# ---------------------------------------------------------- interleaving soak
+def test_occ_interleaving_soak(spark, tmp_path):
+    """Three writers on key-disjoint id ranges, each randomly interleaving
+    rebase-enabled appends, merges, and compactions; merges that refuse a
+    rebase re-run against a fresh snapshot (the documented caller
+    contract). Whatever the interleaving, the final state must equal each
+    writer's serial expectation — cross-writer keys never interact."""
+    import random
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["id"], num_buckets=N_BUCKETS
+    )
+    ranges = {0: range(0, 30), 1: range(1000, 1030), 2: range(2000, 2030)}
+    expected = {}  # id -> v, maintained per-writer serially
+    lock = threading.Lock()
+    errs = []
+    barrier = threading.Barrier(3)
+
+    def writer(wid):
+        rng = random.Random(wid * 7919)
+        ids = list(ranges[wid])
+        handle = LakeTable(spark, t.root)
+        try:
+            barrier.wait()
+            for step in range(6):
+                op = rng.choice(["append", "merge", "merge", "compact"])
+                if op == "append":
+                    fresh = [i for i in ids if i not in expected][:5]
+                    if not fresh:
+                        op = "merge"
+                    else:
+                        handle.append(_df(spark, fresh), rebase=True)
+                        with lock:
+                            expected.update({i: i * 2 for i in fresh})
+                if op == "merge":
+                    pick = rng.sample(ids, 4)
+                    mult = step + 3
+                    for _ in range(20):  # refused rebases re-run fresh
+                        try:
+                            merge_into(
+                                handle, _df(spark, pick, v_mult=mult),
+                                on=["id"], rebase=True,
+                            )
+                            break
+                        except ConcurrentCommitError:
+                            continue
+                    else:  # pragma: no cover
+                        raise RuntimeError("merge starved")
+                    with lock:
+                        expected.update({i: i * mult for i in pick})
+                if op == "compact":
+                    for _ in range(20):
+                        try:
+                            handle.compact(rebase=True)
+                            break
+                        except ConcurrentCommitError:
+                            continue
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errs.append((wid, e))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in ranges]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert not errs, errs
+    assert dict(_rows(t)) == expected
+    # at least one rebase actually happened across the run (else the soak
+    # degenerated to serial execution and proved nothing)
+    rebased = sum(
+        1
+        for e in t.log_entries()
+        if (e.get("summary") or {}).get("rebased_over")
+    )
+    assert rebased >= 1, "no commit ever rebased — interleaving too tame"
