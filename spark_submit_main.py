@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
                    default="mor",
                    help="how a 100%%-delete epoch commits: positional DVs "
                         "(mor), scan-free equality deletes, or CoW merge")
+    p.add_argument("--bg-compact", type=float, default=None, metavar="SECS",
+                   help="run table maintenance on a BACKGROUND thread every "
+                        "SECS seconds, concurrent with the epoch loop, using "
+                        "optimistic commit rebase (lost races re-commit "
+                        "metadata-only) — maintenance off the ingest path; "
+                        "mutually exclusive with --compact-every and --wap")
     p.add_argument("--compact-every", type=int, default=None,
                    help="run table maintenance (small-file consolidation + "
                         "deletion-vector absorption) after every K epochs")
@@ -167,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
         compact_sort_by=args.cluster_by.split(",") if args.cluster_by else None,
         compact_zorder=args.zorder,
         compact_bin_pack_rows=args.bin_pack_rows,
+        background_compact_interval=args.bg_compact,
     )
     dt = time.time() - t0
     vacuumed = None
@@ -188,6 +195,10 @@ def main(argv: list[str] | None = None) -> int:
         "final_rows": eng.read_state().count(),
         **({"files_vacuumed": vacuumed} if vacuumed is not None else {}),
         **({"wap_audits": audits} if args.wap else {}),
+        **({"background_compactions": eng.background_compactions,
+            "background_compact_conflicts": eng.background_compact_conflicts,
+            "background_compact_errors": eng.background_compact_errors}
+           if args.bg_compact is not None else {}),
     }))
     return 0
 

@@ -653,6 +653,7 @@ class CdcEngine:
         compact_sort_by: list[str] | None = None,
         compact_zorder: bool = False,
         compact_bin_pack_rows: int | None = None,
+        background_compact_interval: float | None = None,
     ) -> list[EpochResult]:
         """Replay the whole event log in epochs; resumes from the last
         committed epoch automatically (reads the manifest — SURVEY.md §4
@@ -673,32 +674,109 @@ class CdcEngine:
         Compaction is row-invariant and changelog-invisible, so resumed
         replays, competing replayers, and stream consumers are unaffected
         (the optimistic version pin simply retries if a compact lands
-        between an epoch's snapshot and its commit)."""
+        between an epoch's snapshot and its commit).
+
+        ``background_compact_interval=SECONDS`` moves maintenance OFF the
+        ingest path entirely: a daemon thread compacts concurrently with
+        the epoch loop using the optimistic rebase
+        (``compact(rebase=True)`` — a lost race re-commits metadata-only,
+        so the compactor keeps up with the stream instead of redoing
+        rewrites; BENCH.md "optimistic commit rebase under contention"),
+        and the epoch loop's own conflict handling (apply_epoch's
+        skip/retry) absorbs the races it loses to the compactor. The
+        thread stops, and is joined, before replay returns. Mutually
+        exclusive with ``compact_every`` (pick inline or background) and
+        with WAP (``audit_fn``): a main-table compact landing between a
+        WAP fork and its publish would invalidate the publish rebase."""
+        if background_compact_interval is not None:
+            if compact_every:
+                raise ValueError(
+                    "background_compact_interval and compact_every are "
+                    "mutually exclusive — maintenance runs inline OR in "
+                    "the background, not both"
+                )
+            if self.audit_fn is not None:
+                raise ValueError(
+                    "background compaction cannot run under WAP: a main "
+                    "compact between fork and publish invalidates the "
+                    "publish rebase — use compact_every (inline) instead"
+                )
         if max_lsn is None:
             max_lsn = events.agg(F.max("lsn")).first()[0] or 0
-        results = []
-        cur = self.last_lsn()
-        applied = 0
-        while cur < max_lsn:
-            hi = min(cur + epoch_size, max_lsn)
-            results.append(self.apply_epoch(events, cur, hi, lineage=lineage))
-            cur = hi
-            applied += 1
-            if compact_every and applied % compact_every == 0:
-                from ..lake import ConcurrentCommitError
 
-                try:
-                    self.table().compact(
-                        max_files_per_bucket=compact_max_files_per_bucket,
-                        sort_by=compact_sort_by,
-                        zorder=compact_zorder,
-                        bin_pack_rows=compact_bin_pack_rows,
-                    )
-                except ConcurrentCommitError:
-                    # a rival committed between our snapshot and the compact
-                    # commit — maintenance is best-effort, the next cycle
-                    # (or the rival's own) compacts; never abort the replay
-                    pass
+        bg_stop = bg_thread = None
+        self.background_compactions = 0
+        self.background_compact_conflicts = 0
+        self.background_compact_errors = 0
+        if background_compact_interval is not None:
+            import threading
+            import time as _time
+
+            from ..lake import ConcurrentCommitError
+
+            bg_stop = threading.Event()
+
+            def _bg_compact():
+                while not bg_stop.wait(background_compact_interval):
+                    try:
+                        if not self.table().exists():
+                            continue  # first epoch hasn't created it yet
+                        res = self.table().compact(
+                            max_files_per_bucket=compact_max_files_per_bucket,
+                            sort_by=compact_sort_by,
+                            zorder=compact_zorder,
+                            bin_pack_rows=compact_bin_pack_rows,
+                            rebase=True,
+                        )
+                        if res.summary.get("files_compacted", 0):
+                            self.background_compactions += 1
+                    except ConcurrentCommitError:
+                        # rebase refused (a merge rewrote a victim under
+                        # us) — next tick recomputes against fresh state
+                        self.background_compact_conflicts += 1
+                    except Exception:  # noqa: BLE001 — maintenance is
+                        # best-effort by design: a transient read racing a
+                        # commit (missing staging file, torn snapshot) must
+                        # not kill the daemon; the next tick re-reads fresh
+                        # state. The replay's own correctness never depends
+                        # on this thread.
+                        self.background_compact_errors += 1
+                    _time.sleep(0)  # yield to the epoch loop's driver work
+
+            bg_thread = threading.Thread(target=_bg_compact, daemon=True)
+            bg_thread.start()
+
+        try:
+            results = []
+            cur = self.last_lsn()
+            applied = 0
+            while cur < max_lsn:
+                hi = min(cur + epoch_size, max_lsn)
+                results.append(
+                    self.apply_epoch(events, cur, hi, lineage=lineage)
+                )
+                cur = hi
+                applied += 1
+                if compact_every and applied % compact_every == 0:
+                    from ..lake import ConcurrentCommitError
+
+                    try:
+                        self.table().compact(
+                            max_files_per_bucket=compact_max_files_per_bucket,
+                            sort_by=compact_sort_by,
+                            zorder=compact_zorder,
+                            bin_pack_rows=compact_bin_pack_rows,
+                        )
+                    except ConcurrentCommitError:
+                        # a rival committed between our snapshot and the
+                        # compact commit — maintenance is best-effort, the
+                        # next cycle (or the rival's own) compacts; never
+                        # abort the replay
+                        pass
+        finally:
+            if bg_stop is not None:
+                bg_stop.set()
+                bg_thread.join(timeout=120)
         return results
 
     # ------------------------------------------------------------- source

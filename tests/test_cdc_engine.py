@@ -958,3 +958,39 @@ def test_wap_schema_evolution_publishes(spark, tmp_path):
     cols_after = set(engine.read_state().columns)
     assert cols_before < cols_after  # evolution added column(s) on main
     assert engine.table().list_branches() == []
+
+
+# ------------------------------------------------- background maintenance
+def test_background_compaction_matches_plain_replay(spark, tmp_path):
+    """Maintenance on a background thread (optimistic rebase): final state
+    identical to a plain replay, exactly-once preserved across whatever
+    compact commits landed mid-replay, file counts reduced."""
+    ev = change_events(spark, N, n_repos=20, paths_per_repo=15, seed=11)
+    e_plain = CdcEngine(spark, str(tmp_path / "plain"), num_buckets=4)
+    e_plain.replay(ev, epoch_size=300)
+    e_bg = CdcEngine(spark, str(tmp_path / "bg"), num_buckets=4)
+    e_bg.replay(ev, epoch_size=300, background_compact_interval=0.2)
+    _assert_state_equal(_final_state_pdf(e_plain), _final_state_pdf(e_bg))
+
+    t = e_bg.table()
+    compacts = [
+        e for e in t.log_entries() if e.get("operation") == "compact"
+    ]
+    assert compacts, "background compactor never landed a commit"
+    assert e_bg.background_compactions == len(compacts)
+    # the epoch loop absorbed every race it lost — all epochs applied once
+    again = e_bg.replay(ev, epoch_size=300)
+    assert all(r.skipped for r in again)
+
+
+def test_background_compaction_validations(spark, tmp_path):
+    ev = change_events(spark, 50, n_repos=3, seed=3)
+    eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=4)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        eng.replay(ev, background_compact_interval=1.0, compact_every=1)
+    eng_wap = CdcEngine(
+        spark, str(tmp_path / "w"), num_buckets=4,
+        audit_fn=lambda branch, res: True,
+    )
+    with pytest.raises(ValueError, match="WAP"):
+        eng_wap.replay(ev, background_compact_interval=1.0)
