@@ -90,6 +90,16 @@ def main(argv: list[str] | None = None) -> int:
                         "pre-epoch rows + inserts - deletes); a failing "
                         "audit drops the branch — main never sees the rows")
     args = p.parse_args(argv)
+    if args.bg_compact is not None:
+        # fail in milliseconds, not after SparkSession + parquet startup
+        if args.bg_compact <= 0:
+            p.error("--bg-compact must be > 0 seconds (omit to disable)")
+        if args.compact_every:
+            p.error("--bg-compact and --compact-every are mutually exclusive")
+        if args.wap:
+            p.error("--bg-compact cannot run under --wap (a main-table "
+                    "compact between fork and publish invalidates the "
+                    "publish rebase)")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F

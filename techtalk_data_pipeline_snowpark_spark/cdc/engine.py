@@ -166,6 +166,12 @@ class CdcEngine:
         # and raises EpochAuditError — bad upstream data can never become
         # visible, and the watermark never advances past it.
         self.audit_fn = audit_fn
+        # background-maintenance observability: CUMULATIVE across replay()
+        # calls on this engine (a resume re-replay with bg off must not
+        # zero the counts the first replay earned)
+        self.background_compactions = 0
+        self.background_compact_conflicts = 0
+        self.background_compact_errors = 0
 
     def _create_properties(self) -> dict | None:
         if not self.bloom:
@@ -689,6 +695,12 @@ class CdcEngine:
         with WAP (``audit_fn``): a main-table compact landing between a
         WAP fork and its publish would invalidate the publish rebase."""
         if background_compact_interval is not None:
+            if background_compact_interval <= 0:
+                raise ValueError(
+                    "background_compact_interval must be > 0 seconds "
+                    "(omit it to disable background maintenance) — 0 "
+                    "would busy-loop snapshot reads against the store"
+                )
             if compact_every:
                 raise ValueError(
                     "background_compact_interval and compact_every are "
@@ -704,15 +716,25 @@ class CdcEngine:
         if max_lsn is None:
             max_lsn = events.agg(F.max("lsn")).first()[0] or 0
 
+        from ..lake import ConcurrentCommitError
+
+        def _compact_once(rebase: bool) -> int:
+            """One maintenance pass with the replay's compact knobs —
+            shared by the inline (compact_every) and background paths so
+            a future knob cannot silently diverge between them. Returns
+            files compacted (0 = no-op, no commit)."""
+            res = self.table().compact(
+                max_files_per_bucket=compact_max_files_per_bucket,
+                sort_by=compact_sort_by,
+                zorder=compact_zorder,
+                bin_pack_rows=compact_bin_pack_rows,
+                rebase=rebase,
+            )
+            return res.summary.get("files_compacted", 0)
+
         bg_stop = bg_thread = None
-        self.background_compactions = 0
-        self.background_compact_conflicts = 0
-        self.background_compact_errors = 0
         if background_compact_interval is not None:
             import threading
-            import time as _time
-
-            from ..lake import ConcurrentCommitError
 
             bg_stop = threading.Event()
 
@@ -721,14 +743,7 @@ class CdcEngine:
                     try:
                         if not self.table().exists():
                             continue  # first epoch hasn't created it yet
-                        res = self.table().compact(
-                            max_files_per_bucket=compact_max_files_per_bucket,
-                            sort_by=compact_sort_by,
-                            zorder=compact_zorder,
-                            bin_pack_rows=compact_bin_pack_rows,
-                            rebase=True,
-                        )
-                        if res.summary.get("files_compacted", 0):
+                        if _compact_once(rebase=True):
                             self.background_compactions += 1
                     except ConcurrentCommitError:
                         # rebase refused (a merge rewrote a victim under
@@ -741,7 +756,6 @@ class CdcEngine:
                         # state. The replay's own correctness never depends
                         # on this thread.
                         self.background_compact_errors += 1
-                    _time.sleep(0)  # yield to the epoch loop's driver work
 
             bg_thread = threading.Thread(target=_bg_compact, daemon=True)
             bg_thread.start()
@@ -758,15 +772,8 @@ class CdcEngine:
                 cur = hi
                 applied += 1
                 if compact_every and applied % compact_every == 0:
-                    from ..lake import ConcurrentCommitError
-
                     try:
-                        self.table().compact(
-                            max_files_per_bucket=compact_max_files_per_bucket,
-                            sort_by=compact_sort_by,
-                            zorder=compact_zorder,
-                            bin_pack_rows=compact_bin_pack_rows,
-                        )
+                        _compact_once(rebase=False)
                     except ConcurrentCommitError:
                         # a rival committed between our snapshot and the
                         # compact commit — maintenance is best-effort, the
@@ -776,7 +783,13 @@ class CdcEngine:
         finally:
             if bg_stop is not None:
                 bg_stop.set()
-                bg_thread.join(timeout=120)
+                # unconditional join: the loop exits after at most one
+                # in-flight compact (every tick's exceptions are caught,
+                # wait() returns immediately once set). Returning with the
+                # thread alive would be worse than waiting — a caller's
+                # vacuum could reclaim files the straggler is about to
+                # commit a reference to.
+                bg_thread.join()
         return results
 
     # ------------------------------------------------------------- source

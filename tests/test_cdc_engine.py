@@ -979,15 +979,22 @@ def test_background_compaction_matches_plain_replay(spark, tmp_path):
     assert compacts, "background compactor never landed a commit"
     assert e_bg.background_compactions == len(compacts)
     # the epoch loop absorbed every race it lost — all epochs applied once
+    landed = e_bg.background_compactions
     again = e_bg.replay(ev, epoch_size=300)
     assert all(r.skipped for r in again)
+    # counters are cumulative: the bg-off resume replay must not zero them
+    assert e_bg.background_compactions == landed
 
 
 def test_background_compaction_validations(spark, tmp_path):
     ev = change_events(spark, 50, n_repos=3, seed=3)
     eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=4)
+    # counters exist (zero) before any replay — observability surface
+    assert eng.background_compactions == 0
     with pytest.raises(ValueError, match="mutually exclusive"):
         eng.replay(ev, background_compact_interval=1.0, compact_every=1)
+    with pytest.raises(ValueError, match="> 0 seconds"):
+        eng.replay(ev, background_compact_interval=0)
     eng_wap = CdcEngine(
         spark, str(tmp_path / "w"), num_buckets=4,
         audit_fn=lambda branch, res: True,
