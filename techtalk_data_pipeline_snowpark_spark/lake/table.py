@@ -319,14 +319,25 @@ class LakeTable:
                     raise  # not a plain lost-race (log went backwards?)
                 # always re-validate against the ORIGINAL base: the entry's
                 # adds/removes were computed from that snapshot
-                self._validate_rebase(
-                    entry,
-                    base,
-                    new,
-                    key_disjoint,
-                    from_version=validated_to,
-                    claim_buckets=claim_buckets,
-                )
+                try:
+                    self._validate_rebase(
+                        entry,
+                        base,
+                        new,
+                        key_disjoint,
+                        from_version=validated_to,
+                        claim_buckets=claim_buckets,
+                    )
+                except (FileNotFoundError, KeyError) as e:
+                    # a racing vacuum_metadata pruned intervening log
+                    # entries out from under a long-stalled writer —
+                    # degrade to the ordinary conflict (caller redoes the
+                    # work against fresh state) instead of crashing
+                    raise ConcurrentCommitError(
+                        f"cannot rebase at {self.root}: intervening log "
+                        f"entries unreadable ({type(e).__name__}) — "
+                        "metadata may have been vacuumed during the race"
+                    ) from e
                 validated_to = new.version
                 entry["summary"] = {
                     **entry.get("summary", {}),

@@ -433,3 +433,35 @@ def test_occ_interleaving_soak(spark, tmp_path):
         if (e.get("summary") or {}).get("rebased_over")
     )
     assert rebased >= 1, "no commit ever rebased — interleaving too tame"
+
+
+def test_rebase_degrades_to_conflict_when_metadata_vacuumed(spark, tmp_path):
+    """A long-stalled writer whose intervening log entries were pruned by
+    a racing vacuum_metadata gets the ordinary ConcurrentCommitError (redo
+    against fresh state), not a raw FileNotFoundError crash."""
+    t = _mk(spark, tmp_path)
+    stale = t.snapshot()
+    adds = t._stage_dataframe(
+        _df(spark, range(100, 105)), stale.schema, N_BUCKETS, ["id"]
+    )
+    entry = {
+        "operation": "append",
+        "add": adds,
+        "remove": [],
+        "properties": {},
+        "summary": {},
+    }
+    LakeTable(spark, t.root).append(_df(spark, range(200, 205)))
+    real = t.log_entries
+
+    def pruned(start=1, end=None):
+        if start > 1:  # the validate range; snapshot() replays from 1
+            raise FileNotFoundError("log entry pruned by vacuum_metadata")
+        return real(start, end)
+
+    t.log_entries = pruned
+    try:
+        with pytest.raises(ConcurrentCommitError, match="vacuumed"):
+            t._commit_or_rebase(entry, stale, key_disjoint=False)
+    finally:
+        t.log_entries = real
