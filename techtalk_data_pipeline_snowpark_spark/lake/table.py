@@ -1798,6 +1798,36 @@ class LakeTable:
     def history(self) -> list[dict]:
         return self.log_entries(self.oldest_version())
 
+    def history(self, limit: int | None = None) -> list[dict]:
+        """Delta ``DESCRIBE HISTORY`` shape: newest-first commit records
+        — version, operation, timestamp (epoch seconds), files added/
+        removed, and the operation's summary (merge metrics, restore
+        provenance, compaction counts, ``rebased_over`` for commits that
+        won via optimistic rebase). Metadata-only: O(retained log)."""
+        t = self.oldest_version()
+        out = []
+        for e in reversed(self.log_entries(t)):
+            out.append(
+                {
+                    "version": e["version"],
+                    "operation": e.get("operation"),
+                    "timestamp": e.get("timestamp"),
+                    "files_added": len(e.get("add") or ()),
+                    "files_removed": len(e.get("remove") or ()),
+                    "summary": e.get("summary") or {},
+                }
+            )
+            if limit is not None and len(out) >= limit:
+                break
+        return out
+
+    def restore_to_timestamp(self, timestamp: float) -> CommitResult:
+        """RESTORE to the snapshot live at ``timestamp`` (epoch seconds)
+        — ``version_as_of`` composed with :meth:`restore`; same
+        metadata-only commit, same validations (vacuumed targets and
+        layout-unsettable transitions refuse loudly)."""
+        return self.restore(self.version_as_of(timestamp))
+
     def restore(self, version: int) -> CommitResult:
         """Iceberg/Delta-style RESTORE (rollback to a snapshot): ONE
         metadata-only commit that makes the live state equal ``version``'s

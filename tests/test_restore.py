@@ -159,3 +159,22 @@ def test_restore_cli_flag(spark, tmp_path, capsys):
     assert out["rows"] == 20
     assert out["new_version"] == t.latest_version()
     assert _rows(t) == _rows(t, version=v_good)
+
+
+def test_history_and_restore_to_timestamp(spark, tmp_path):
+    import time
+
+    t = _mk(spark, tmp_path, n=2)
+    ts_after_v3 = time.time()
+    t.append(_batch(spark, 20, 30))
+    h = t.history()
+    assert [e["version"] for e in h] == [4, 3, 2, 1]
+    assert h[0]["operation"] == "append" and h[0]["files_added"] > 0
+    assert t.history(limit=2)[0]["version"] == 4
+    res = t.restore_to_timestamp(ts_after_v3)
+    assert res.summary["restored_to"] == 3
+    assert len(_rows(t)) == 20
+    # the restore itself shows up in history with its provenance
+    top = t.history(limit=1)[0]
+    assert top["operation"] == "restore"
+    assert top["summary"]["restored_to"] == 3
