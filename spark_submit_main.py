@@ -72,6 +72,11 @@ def main(argv: list[str] | None = None) -> int:
                         "only files under this row target (plus tombstone "
                         "carriers) instead of whole buckets — constant "
                         "write amplification on a long ingest tail")
+    p.add_argument("--history", type=int, default=None, metavar="N",
+                   help="ops action: print the newest N commit records of "
+                        "--table (DESCRIBE HISTORY shape: version, "
+                        "operation, timestamp, file counts, summary) as "
+                        "JSON and exit — pairs with --restore-to")
     p.add_argument("--restore-to", type=int, default=None,
                    help="ops action: metadata-only RESTORE of --table to this "
                         "snapshot version (rollback of a bad ingest epoch), "
@@ -108,6 +113,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from techtalk_data_pipeline_snowpark_spark.cdc import CdcEngine
     from techtalk_data_pipeline_snowpark_spark.fixtures.generators import change_events
+
+    if args.history is not None:
+        from techtalk_data_pipeline_snowpark_spark.lake import LakeTable
+
+        print(json.dumps(
+            {"history": LakeTable(spark, args.table).history(args.history)}
+        ))
+        return 0
 
     if args.restore_to is not None:
         from techtalk_data_pipeline_snowpark_spark.lake import LakeTable

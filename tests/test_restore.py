@@ -178,3 +178,16 @@ def test_history_and_restore_to_timestamp(spark, tmp_path):
     top = t.history(limit=1)[0]
     assert top["operation"] == "restore"
     assert top["summary"]["restored_to"] == 3
+
+
+def test_history_cli_flag(spark, tmp_path, capsys):
+    import json
+
+    from spark_submit_main import main
+
+    t = _mk(spark, tmp_path, n=3)
+    rc = main(["--table", str(tmp_path / "t"), "--history", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [e["version"] for e in out["history"]] == [4, 3]
+    assert out["history"][0]["operation"] == "append"
