@@ -239,6 +239,156 @@ FROM p1 FULL JOIN p2 ON p1.k = p2.k
 """
 
 
+def multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table CDC fan-out (cdc/multitable.py): ONE binlog-shaped
+    LSN-ordered stream carrying interleaved 'orders' and 'users' change
+    events is routed into two lake tables — different key columns,
+    bucket layouts, and exactly-once watermarks — over a shared epoch
+    grid. The reference runs one Snowflake stream per table
+    (IngestOrdersFromRawToFlat.scala / IngestRatingsFromRawToFlat.scala
+    as separate DAG nodes); a real WAL tail gets one stream and must
+    route. Returns both final states aligned to one comparable shape.
+
+    LSN construction (deterministic, disjoint): orders inserts sit at
+    3k+1, their updates at 3(B+k)+1 (B = max orderkey, so every update
+    outranks every insert), their deletes at 3(2B+k)+1 (outrank both);
+    users events sit at 3(event_id+1)+2. Updates re-price a tenth of the
+    orders; deletes remove every 37th — so the max-LSN dedup and the
+    delete branch of the per-table MERGE both do real work."""
+    from techtalk_data_pipeline_snowpark_spark.cdc import (
+        MultiTableCdcEngine,
+        TableRoute,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.agg(F.max("o_orderkey")).first()[0]
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("long")
+
+    o_ins = orders.select(
+        (F.col("o_orderkey") * 3 + 1).cast("long").alias("lsn"),
+        F.lit("upsert").alias("op"),
+        F.lit("orders").alias("tbl"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        null_l.alias("user_id"),
+        null_s.alias("event_type"),
+        null_d.alias("value"),
+    )
+    o_upd = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        ((F.col("o_orderkey") + F.lit(int(b))) * 3 + 1).cast("long").alias("lsn"),
+        F.lit("upsert").alias("op"),
+        F.lit("orders").alias("tbl"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        null_l.alias("user_id"),
+        null_s.alias("event_type"),
+        null_d.alias("value"),
+    )
+    o_del = orders.where(F.col("o_orderkey") % 37 == 0).select(
+        ((F.col("o_orderkey") + F.lit(2 * int(b))) * 3 + 1).cast("long").alias("lsn"),
+        F.lit("delete").alias("op"),
+        F.lit("orders").alias("tbl"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        null_s.alias("o_orderstatus"),
+        null_d.alias("o_totalprice"),
+        null_l.alias("user_id"),
+        null_s.alias("event_type"),
+        null_d.alias("value"),
+    )
+    u_log = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") + 1) * 3 + 2).cast("long").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.lit("users").alias("tbl"),
+        null_l.alias("o_orderkey"),
+        null_s.alias("o_orderstatus"),
+        null_d.alias("o_totalprice"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    log = o_ins.unionByName(o_upd).unionByName(o_del).unionByName(u_log)
+
+    root = tempfile.mkdtemp(prefix="mtcdc_")
+    mt = MultiTableCdcEngine(
+        spark,
+        os.path.join(root, "mt"),
+        routes={
+            "orders": TableRoute(
+                key_cols=("o_orderkey",),
+                columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+                num_buckets=8,
+            ),
+            "users": TableRoute(
+                key_cols=("user_id",),
+                columns=["user_id", "event_type", "value"],
+                num_buckets=4,
+            ),
+        },
+    )
+    max_lsn = int(log.agg(F.max("lsn")).first()[0])
+    mt.replay(log, max_lsn=max_lsn, epoch_size=(max_lsn + 3) // 4 + 1)
+    o_state = mt.read_state("orders").select(
+        F.lit("orders").alias("tbl"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_orderstatus").alias("v_str"),
+        F.col("o_totalprice").alias("v_num"),
+        F.col("lsn"),
+    )
+    u_state = mt.read_state("users").select(
+        F.lit("users").alias("tbl"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("event_type").alias("v_str"),
+        F.col("value").alias("v_num"),
+        F.col("lsn"),
+    )
+    return o_state.unionByName(u_state)
+
+
+_MULTITABLE_ORACLE = """
+WITH b AS (SELECT max(o_orderkey) AS b FROM orders),
+olog AS (
+  SELECT CAST(o_orderkey*3 + 1 AS BIGINT) AS lsn, 'upsert' AS op,
+         o_orderkey, o_orderstatus, o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT CAST((o_orderkey + (SELECT b FROM b))*3 + 1 AS BIGINT), 'upsert',
+         o_orderkey, 'U', o_totalprice * CAST(1.1 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT CAST((o_orderkey + 2*(SELECT b FROM b))*3 + 1 AS BIGINT), 'delete',
+         o_orderkey, NULL, NULL
+  FROM orders WHERE o_orderkey % 37 = 0
+),
+olatest AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY lsn DESC) rn
+  FROM olog
+),
+ulog AS (
+  SELECT CAST((event_id + 1)*3 + 2 AS BIGINT) AS lsn,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         user_id, event_type, value
+  FROM events
+),
+ulatest AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) rn
+  FROM ulog
+)
+SELECT 'orders' AS tbl, CAST(o_orderkey AS VARCHAR) AS k,
+       o_orderstatus AS v_str, o_totalprice AS v_num, lsn
+FROM olatest WHERE rn = 1 AND op <> 'delete'
+UNION ALL
+SELECT 'users' AS tbl, CAST(user_id AS VARCHAR) AS k,
+       event_type AS v_str, value AS v_num, lsn
+FROM ulatest WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's core dedup operator alone: last-writer-wins per key via
     max_by partial aggregation (SURVEY.md §2.4 A4 generalization)."""
@@ -3465,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_events": cdc_replay_events,
         "stream_replay_events": stream_replay_events,
         "cdc_schema_evolution": cdc_schema_evolution,
+        "multitable_replay": multitable_replay,
         "latest_event_per_user": latest_event_per_user,
         "q1_pricing_summary": q1_pricing_summary,
         "dq_overpaid": dq_overpaid,
@@ -3550,6 +3701,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_events": _CDC_REPLAY_ORACLE,
         "stream_replay_events": _CDC_REPLAY_ORACLE,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_ORACLE,
+        "multitable_replay": _MULTITABLE_ORACLE,
         "latest_event_per_user": _LATEST_EVENT_ORACLE,
         "q1_pricing_summary": _Q1_ORACLE,
         "dq_overpaid": _DQ_OVERPAID_ORACLE,
