@@ -1795,9 +1795,6 @@ class LakeTable:
                 removed += 1
         return removed
 
-    def history(self) -> list[dict]:
-        return self.log_entries(self.oldest_version())
-
     def history(self, limit: int | None = None) -> list[dict]:
         """Delta ``DESCRIBE HISTORY`` shape: newest-first commit records
         — version, operation, timestamp (epoch seconds), files added/
@@ -1815,6 +1812,12 @@ class LakeTable:
                     "files_added": len(e.get("add") or ()),
                     "files_removed": len(e.get("remove") or ()),
                     "summary": e.get("summary") or {},
+                    # caller-supplied commit properties (writer tags, the
+                    # CDC manifest, audit markers) — the fields concurrency
+                    # tests and provenance consumers key on. Until this
+                    # shape replaced the raw-log history(), callers read
+                    # them off the entries directly; keep them first-class.
+                    "properties": e.get("properties") or {},
                 }
             )
             if limit is not None and len(out) >= limit:

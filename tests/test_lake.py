@@ -354,8 +354,9 @@ def test_concurrent_merge_vs_delete_serializable(spark, tmp_table_root):
         th.join()
     assert not errors, f"writer never committed: {errors}"
 
-    # observed serialization order from the log
-    order = [e["properties"]["writer"] for e in t_live.history()
+    # observed serialization order from the log (history() is newest-first
+    # per the DESCRIBE HISTORY convention — reverse to commit order)
+    order = [e["properties"]["writer"] for e in reversed(t_live.history())
              if e.get("properties", {}).get("writer")]
     assert sorted(order) == ["delete", "merge"]  # both committed exactly once
 
