@@ -3603,6 +3603,97 @@ FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """
 
 
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/importance.py): hashed
+    unigram+bigram bag-of-words models for a target corpus (the English
+    docs) vs the raw corpus, per-doc log importance weight as an exact
+    DECIMAL dot product against the broadcast ≤B-row log-ratio table,
+    Gumbel-top-k selection ∝ exp(logw) — fully deterministic, exact
+    DuckDB twin (md5 buckets, ln, and Gumbel doubles are bit-identical
+    across engines)."""
+    from techtalk_data_pipeline_snowpark_spark.operators.importance import (
+        dsir_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        k=150,
+        num_buckets=1024,
+        alpha=1.0,
+        salt="dsir",
+    )
+
+
+_DSIR_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(2, len(toks)),
+                                    i -> toks[i-1] || ' ' || toks[i])
+                ELSE CAST([] AS VARCHAR[]) END) AS fs
+  FROM tk
+),
+occ AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % 1024 AS bucket
+  FROM (SELECT doc_id, unnest(fs) AS f FROM feats)
+),
+doc_counts AS (SELECT doc_id, bucket, count(*) AS cnt FROM occ GROUP BY 1, 2),
+raw_model AS (SELECT bucket, sum(cnt) AS rc FROM doc_counts GROUP BY bucket),
+target_model AS (
+  SELECT bucket, count(*) AS tc
+  FROM occ JOIN documents USING (doc_id)
+  WHERE lang = 'en'
+  GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT sum(tc) FROM target_model) AS tt,
+         (SELECT sum(rc) FROM raw_model) AS tr
+),
+ratio AS (
+  SELECT coalesce(r.bucket, t.bucket) AS bucket,
+         CAST(round(
+           ln((coalesce(tc, 0) + 1.0) / (tt + 1024.0))
+           - ln((coalesce(rc, 0) + 1.0) / (tr + 1024.0)), 9) AS DECIMAL(22,9))
+           AS ratio
+  FROM raw_model r FULL JOIN target_model t ON r.bucket = t.bucket
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, sum(CAST(cnt AS DECIMAL(9,0)) * ratio) AS logw_dec
+  FROM doc_counts JOIN ratio USING (bucket)
+  GROUP BY doc_id
+),
+allscored AS (
+  SELECT d.doc_id,
+         coalesce(logw_dec, CAST(0 AS DECIMAL(22,9))) AS logw_dec
+  FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+),
+keyed AS (
+  SELECT doc_id,
+         CAST(logw_dec AS DOUBLE) AS logw,
+         round(CAST(logw_dec AS DOUBLE)
+               + (-ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'dsir'), 1, 8))
+                                AS UBIGINT) + 0.5) / 4294967296.0))), 6) AS sel_key
+  FROM allscored
+)
+SELECT doc_id, logw, sel_key
+FROM keyed ORDER BY sel_key DESC, doc_id ASC LIMIT 150
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3654,6 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_jaccard_docs": incremental_jaccard_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "vocab_coverage_docs": vocab_coverage_docs,
+        "dsir_select_docs": dsir_select_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "bm25_search_docs": bm25_search_docs,
         "hybrid_search_docs": hybrid_search_docs,
@@ -3740,6 +3832,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_jaccard_docs": _INCREMENTAL_JACCARD_ORACLE,
         "stratified_sample_docs": _STRATIFIED_SAMPLE_ORACLE,
         "vocab_coverage_docs": _VOCAB_COVERAGE_ORACLE,
+        "dsir_select_docs": _DSIR_ORACLE,
         "tfidf_top_terms_docs": _TFIDF_TOP_TERMS_ORACLE,
         "bm25_search_docs": _BM25_SEARCH_ORACLE,
         "hybrid_search_docs": _HYBRID_SEARCH_ORACLE,
