@@ -324,6 +324,8 @@ def main():
         "tfidf_top_terms_docs",
         "bm25_search_docs",
         "hybrid_search_docs",
+        "dsir_select_docs",
+        "multitable_replay",
     ):
         t0 = time.time()
         qs[name](spark, sf_dir).count()
