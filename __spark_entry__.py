@@ -255,17 +255,65 @@ def multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     users events sit at 3(event_id+1)+2. Updates re-price a tenth of the
     orders; deletes remove every 37th — so the max-LSN dedup and the
     delete branch of the per-table MERGE both do real work."""
-    from techtalk_data_pipeline_snowpark_spark.cdc import (
-        MultiTableCdcEngine,
-        TableRoute,
-    )
+    from techtalk_data_pipeline_snowpark_spark.cdc import MultiTableCdcEngine
 
+    log = _multitable_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mtcdc_")
+    mt = MultiTableCdcEngine(
+        spark, os.path.join(root, "mt"), routes=_multitable_routes()
+    )
+    max_lsn = int(log.agg(F.max("lsn")).first()[0])
+    mt.replay(log, max_lsn=max_lsn, epoch_size=(max_lsn + 3) // 4 + 1)
+    return _multitable_final_state(mt)
+
+
+_MULTITABLE_ORACLE = """
+WITH b AS (SELECT max(o_orderkey) AS b FROM orders),
+olog AS (
+  SELECT CAST(o_orderkey*3 + 1 AS BIGINT) AS lsn, 'upsert' AS op,
+         o_orderkey, o_orderstatus, o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT CAST((o_orderkey + (SELECT b FROM b))*3 + 1 AS BIGINT), 'upsert',
+         o_orderkey, 'U', o_totalprice * CAST(1.1 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT CAST((o_orderkey + 2*(SELECT b FROM b))*3 + 1 AS BIGINT), 'delete',
+         o_orderkey, NULL, NULL
+  FROM orders WHERE o_orderkey % 37 = 0
+),
+olatest AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY lsn DESC) rn
+  FROM olog
+),
+ulog AS (
+  SELECT CAST((event_id + 1)*3 + 2 AS BIGINT) AS lsn,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         user_id, event_type, value
+  FROM events
+),
+ulatest AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) rn
+  FROM ulog
+)
+SELECT 'orders' AS tbl, CAST(o_orderkey AS VARCHAR) AS k,
+       o_orderstatus AS v_str, o_totalprice AS v_num, lsn
+FROM olatest WHERE rn = 1 AND op <> 'delete'
+UNION ALL
+SELECT 'users' AS tbl, CAST(user_id AS VARCHAR) AS k,
+       event_type AS v_str, value AS v_num, lsn
+FROM ulatest WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _multitable_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved orders+users union-schema log multitable_replay
+    builds — factored so the streaming twin replays the identical stream."""
     orders = _t(spark, sf_dir, "orders")
     b = orders.agg(F.max("o_orderkey")).first()[0]
     null_s = F.lit(None).cast("string")
     null_d = F.lit(None).cast("double")
     null_l = F.lit(None).cast("long")
-
     o_ins = orders.select(
         (F.col("o_orderkey") * 3 + 1).cast("long").alias("lsn"),
         F.lit("upsert").alias("op"),
@@ -312,27 +360,27 @@ def multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.col("value"),
     )
-    log = o_ins.unionByName(o_upd).unionByName(o_del).unionByName(u_log)
+    return o_ins.unionByName(o_upd).unionByName(o_del).unionByName(u_log)
 
-    root = tempfile.mkdtemp(prefix="mtcdc_")
-    mt = MultiTableCdcEngine(
-        spark,
-        os.path.join(root, "mt"),
-        routes={
-            "orders": TableRoute(
-                key_cols=("o_orderkey",),
-                columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
-                num_buckets=8,
-            ),
-            "users": TableRoute(
-                key_cols=("user_id",),
-                columns=["user_id", "event_type", "value"],
-                num_buckets=4,
-            ),
-        },
-    )
-    max_lsn = int(log.agg(F.max("lsn")).first()[0])
-    mt.replay(log, max_lsn=max_lsn, epoch_size=(max_lsn + 3) // 4 + 1)
+
+def _multitable_routes():
+    from techtalk_data_pipeline_snowpark_spark.cdc import TableRoute
+
+    return {
+        "orders": TableRoute(
+            key_cols=("o_orderkey",),
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+            num_buckets=8,
+        ),
+        "users": TableRoute(
+            key_cols=("user_id",),
+            columns=["user_id", "event_type", "value"],
+            num_buckets=4,
+        ),
+    }
+
+
+def _multitable_final_state(mt) -> DataFrame:
     o_state = mt.read_state("orders").select(
         F.lit("orders").alias("tbl"),
         F.col("o_orderkey").cast("string").alias("k"),
@@ -350,43 +398,38 @@ def multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o_state.unionByName(u_state)
 
 
-_MULTITABLE_ORACLE = """
-WITH b AS (SELECT max(o_orderkey) AS b FROM orders),
-olog AS (
-  SELECT CAST(o_orderkey*3 + 1 AS BIGINT) AS lsn, 'upsert' AS op,
-         o_orderkey, o_orderstatus, o_totalprice
-  FROM orders
-  UNION ALL
-  SELECT CAST((o_orderkey + (SELECT b FROM b))*3 + 1 AS BIGINT), 'upsert',
-         o_orderkey, 'U', o_totalprice * CAST(1.1 AS DOUBLE)
-  FROM orders WHERE o_orderkey % 10 = 0
-  UNION ALL
-  SELECT CAST((o_orderkey + 2*(SELECT b FROM b))*3 + 1 AS BIGINT), 'delete',
-         o_orderkey, NULL, NULL
-  FROM orders WHERE o_orderkey % 37 = 0
-),
-olatest AS (
-  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY lsn DESC) rn
-  FROM olog
-),
-ulog AS (
-  SELECT CAST((event_id + 1)*3 + 2 AS BIGINT) AS lsn,
-         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
-         user_id, event_type, value
-  FROM events
-),
-ulatest AS (
-  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) rn
-  FROM ulog
-)
-SELECT 'orders' AS tbl, CAST(o_orderkey AS VARCHAR) AS k,
-       o_orderstatus AS v_str, o_totalprice AS v_num, lsn
-FROM olatest WHERE rn = 1 AND op <> 'delete'
-UNION ALL
-SELECT 'users' AS tbl, CAST(user_id AS VARCHAR) AS k,
-       event_type AS v_str, value AS v_num, lsn
-FROM ulatest WHERE rn = 1 AND op <> 'delete'
-"""
+def stream_multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME multi-table fan-out as multitable_replay, driven by the
+    Structured Streaming runtime (streaming/cdc_stream.py
+    stream_replay_multitable): the binlog-shaped log lands as sequential
+    LSN-range files, readStream tails them two per micro-batch, and each
+    batch is one epoch for EVERY route — per-table watermarks make the
+    composition exactly-once per table. Same oracle as the batch twin."""
+    from techtalk_data_pipeline_snowpark_spark.cdc import MultiTableCdcEngine
+    from techtalk_data_pipeline_snowpark_spark.streaming.cdc_stream import (
+        stream_replay_multitable,
+    )
+
+    log = _multitable_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mtstream_")
+    events_dir = os.path.join(root, "ev")
+    max_lsn = int(log.agg(F.max("lsn")).first()[0])
+    step = (max_lsn + 3) // 4 + 1
+    for i in range(4):  # sequential appends — the WAL tail's mtime order
+        log.where(
+            (F.col("lsn") > i * step) & (F.col("lsn") <= (i + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+    mt = MultiTableCdcEngine(spark, os.path.join(root, "mt"), _multitable_routes())
+    q = stream_replay_multitable(
+        spark,
+        events_dir,
+        os.path.join(root, "ckpt"),
+        mt,
+        schema=log.schema,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+    return _multitable_final_state(mt)
 
 
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3707,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_replay_events": stream_replay_events,
         "cdc_schema_evolution": cdc_schema_evolution,
         "multitable_replay": multitable_replay,
+        "stream_multitable_replay": stream_multitable_replay,
         "latest_event_per_user": latest_event_per_user,
         "q1_pricing_summary": q1_pricing_summary,
         "dq_overpaid": dq_overpaid,
@@ -3794,6 +3838,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_replay_events": _CDC_REPLAY_ORACLE,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_ORACLE,
         "multitable_replay": _MULTITABLE_ORACLE,
+        "stream_multitable_replay": _MULTITABLE_ORACLE,
         "latest_event_per_user": _LATEST_EVENT_ORACLE,
         "q1_pricing_summary": _Q1_ORACLE,
         "dq_overpaid": _DQ_OVERPAID_ORACLE,

@@ -66,6 +66,31 @@ def _range_covered(engine: CdcEngine, lo_excl: int, hi: int) -> bool:
     return cur >= hi
 
 
+def _check_batch_ordering(engine: CdcEngine, lo: int, hi: int, batch_id: int) -> None:
+    """RUNTIME DETECTION of a broken producer ordering contract (review
+    finding: the contract was documented but a violation dropped events
+    with no error). A batch at/under the watermark is legitimate ONLY if
+    committed manifests actually cover its range (crash redelivery); if a
+    later range was listed first (coarse mtime ties), the skipped range
+    has a coverage gap — fail loudly instead."""
+    last = engine.last_lsn()
+    if hi <= last and not _range_covered(engine, lo - 1, hi):
+        raise OrderingViolationError(
+            f"batch {batch_id} range ({lo},{hi}] is below the engine "
+            f"watermark {last} but no committed epoch covers it — the "
+            "producer landed files out of LSN order (see the ordering "
+            "contract in stream_replay's docstring); events would be "
+            "silently dropped"
+        )
+    if lo <= last < hi and not _range_covered(engine, lo - 1, last):
+        raise OrderingViolationError(
+            f"batch {batch_id} range ({lo},{hi}] straddles the engine "
+            f"watermark {last} but the prefix ({lo},{last}] was never "
+            "committed — out-of-order production; the prefix would be "
+            "silently dropped by watermark narrowing"
+        )
+
+
 CHANGE_EVENT_SCHEMA = T.StructType(
     [
         T.StructField("lsn", T.LongType()),
@@ -118,33 +143,76 @@ def stream_replay(
             F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
         ).first()
         lo, hi = int(lo), int(hi)
-        # RUNTIME DETECTION of a broken ordering contract (review finding:
-        # the contract was documented but a violation dropped events with
-        # no error). A batch at/under the watermark is legitimate ONLY if
-        # committed manifests actually cover its range (crash redelivery);
-        # if a later range was listed first (coarse mtime ties), the
-        # skipped range has a coverage gap — fail loudly instead.
-        last = engine.last_lsn()
-        if hi <= last and not _range_covered(engine, lo - 1, hi):
-            raise OrderingViolationError(
-                f"batch {batch_id} range ({lo},{hi}] is below the engine "
-                f"watermark {last} but no committed epoch covers it — the "
-                "producer landed files out of LSN order (see the ordering "
-                "contract in stream_replay's docstring); events would be "
-                "silently dropped"
-            )
-        if lo <= last < hi and not _range_covered(engine, lo - 1, last):
-            raise OrderingViolationError(
-                f"batch {batch_id} range ({lo},{hi}] straddles the engine "
-                f"watermark {last} but the prefix ({lo},{last}] was never "
-                "committed — out-of-order production; the prefix would be "
-                "silently dropped by watermark narrowing"
-            )
+        _check_batch_ordering(engine, lo, hi, batch_id)
         # epoch = this batch's LSN range; the manifest makes replays no-ops.
         engine.apply_epoch(
             batch_df, lo - 1, hi,
             lineage={"streaming_batch_id": batch_id, "source_dir": events_dir},
         )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def stream_replay_multitable(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    mt,
+    schema: T.StructType,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+    max_files_per_trigger: int | None = None,
+):
+    """Tail ONE binlog-shaped event directory and route each micro-batch
+    into every table of a :class:`~..cdc.multitable.MultiTableCdcEngine` —
+    the streaming spelling of ``MultiTableCdcEngine.replay``. Returns the
+    StreamingQuery.
+
+    Semantics compose exactly as in the batch path: the batch's LSN range
+    is one epoch for EVERY route; each sub-engine applies its routed
+    slice idempotently against its own watermark, so a crash between
+    tables mid-batch (table A committed, B not) resumes on the
+    file-source checkpoint's redelivery with A skipping and B applying.
+    The producer ordering contract (see :func:`stream_replay`) is checked
+    per table against that table's own watermark — a violation on ANY
+    route fails the batch before any table applies it (all watermarks
+    still agree on epoch boundaries, so no partial ordering damage).
+
+    Scale note: the routed frames are filters over the micro-batch's file
+    list — each table's epoch reads the batch predicate- and
+    column-pruned, the same posture as the batch fan-out (no persist of
+    the raw batch; batches are bounded by ``maxFilesPerTrigger``).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(events_dir)
+
+    def apply_batch(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        lo, hi = batch_df.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+        ).first()
+        lo, hi = int(lo), int(hi)
+        for name, eng in mt.engines.items():
+            _check_batch_ordering(eng, lo, hi, batch_id)
+        for name, eng in mt.engines.items():
+            eng.apply_epoch(
+                mt.routed(batch_df, name), lo - 1, hi,
+                lineage={
+                    "streaming_batch_id": batch_id,
+                    "source_dir": events_dir,
+                    "table": name,
+                },
+            )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
