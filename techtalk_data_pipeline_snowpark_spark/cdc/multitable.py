@@ -125,10 +125,15 @@ class MultiTableCdcEngine:
         """The sub-log for one table: discriminator filter + payload
         projection, both pushable into the log scan."""
         spec = self.routes[name]
+        cols = set(events.columns)
+        if self.table_col not in cols:
+            raise ValueError(
+                f"event frame has no discriminator column "
+                f"{self.table_col!r} (has {sorted(cols)})"
+            )
         sub = events.where(F.col(self.table_col) == name)
         if spec.columns is None:
             return sub.drop(self.table_col)
-        cols = set(sub.columns)
         missing = [c for c in ("lsn", "op", *spec.columns) if c not in cols]
         if missing:
             raise ValueError(
@@ -141,13 +146,19 @@ class MultiTableCdcEngine:
         """Distinct discriminator values in the log that no route claims,
         with event counts — one partial-aggregated pass, on demand (not
         per epoch: the replay path never pays for this)."""
+        unclaimed = ~F.col(self.table_col).isin(*self.routes.keys())
+        # a NULL discriminator is unrouted too — a bare NOT-IN would drop
+        # it from the report (three-valued logic), hiding malformed events
         rows = (
-            events.where(~F.col(self.table_col).isin(*self.routes.keys()))
+            events.where(unclaimed | F.col(self.table_col).isNull())
             .groupBy(self.table_col)
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        return sorted((r[self.table_col], r["n"]) for r in rows)
+        return sorted(
+            ((r[self.table_col], r["n"]) for r in rows),
+            key=lambda t: (t[0] is None, t[0] or ""),
+        )
 
     # ------------------------------------------------------------- replay
     def replay(

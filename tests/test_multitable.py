@@ -219,8 +219,16 @@ def test_unrouted_tables_reported_not_replayed(spark, tmp_path):
         .withColumn("tbl", F.lit("audit_log"))
         .withColumn("lsn", F.col("lsn") + 1_000_000)
     )
+    log = log.unionByName(
+        _union_log(spark)
+        .limit(3)
+        .withColumn("tbl", F.lit(None).cast("string"))
+        .withColumn("lsn", F.col("lsn") + 2_000_000)
+    )
     mt = MultiTableCdcEngine(spark, str(tmp_path / "mt"), _routes())
-    assert mt.unrouted_tables(log) == [("audit_log", 7)]
+    # NULL discriminators are malformed-but-reportable (a bare NOT-IN
+    # would hide them); they sort last
+    assert mt.unrouted_tables(log) == [("audit_log", 7), (None, 3)]
     mt.replay(log, epoch_size=2_000_000)
     users = mt.read_state("users").toPandas().sort_values("user_id")
     pd.testing.assert_frame_equal(
@@ -252,6 +260,8 @@ def test_validation(spark, tmp_path):
     mt = MultiTableCdcEngine(spark, str(tmp_path / "mt"), _routes())
     with pytest.raises(ValueError, match="expects log columns"):
         mt.routed(_union_log(spark).drop("value"), "users")
+    with pytest.raises(ValueError, match="no discriminator column"):
+        mt.routed(_union_log(spark).drop("tbl"), "users")
 
 
 def _land_waves(spark, log, events_dir, waves=4):
