@@ -330,3 +330,39 @@ def test_stream_multitable_redelivery_is_noop(spark, tmp_path):
         if ckpt == "c1":
             versions = {n: mt.engine(n).table().latest_version() for n in mt.engines}
     assert versions == {n: mt.engine(n).table().latest_version() for n in mt.engines}
+
+
+def test_route_schema_evolution_between_replays(spark, tmp_path):
+    """Union-schema logs pin each route's payload columns, so a table's
+    schema evolution = replaying with an UPDATED route column list; the
+    per-table engine's reconcile pass (add/widen) does the rest. Phase-1
+    survivors read back with a null new column, exactly like the
+    single-table evolution contract."""
+    log = _union_log(spark)
+    p1_routes = {
+        "users": TableRoute(key_cols=("user_id",),
+                            columns=["user_id", "event_type"], num_buckets=4)
+    }
+    mt1 = MultiTableCdcEngine(spark, str(tmp_path / "mt"), p1_routes)
+    mt1.replay(log, max_lsn=600, epoch_size=600)
+    assert "value" not in mt1.read_state("users").columns
+
+    p2_routes = {
+        "users": TableRoute(key_cols=("user_id",),
+                            columns=["user_id", "event_type", "value"],
+                            num_buckets=4)
+    }
+    mt2 = MultiTableCdcEngine(spark, str(tmp_path / "mt"), p2_routes)
+    mt2.replay(log, epoch_size=3000)
+    got = (
+        mt2.read_state("users")
+        .select("user_id", "event_type", "value", "lsn")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = _users_oracle(spark).copy()
+    # keys whose last event landed in phase 1 (lsn ≤ 600) predate the
+    # value column: they must read back null there
+    want.loc[want["lsn"] <= 600, "value"] = None
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
