@@ -155,24 +155,16 @@ def stream_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint for at-least-once delivery, epoch manifest for exactly-once
     effects. Final state must equal the batch replay's oracle exactly."""
     from techtalk_data_pipeline_snowpark_spark.streaming.cdc_stream import (
+        land_lsn_ordered,
         stream_replay,
     )
 
     log = _events_as_cdc_log(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="streamrep_")
     events_dir = os.path.join(root, "ev")
-    # LSN-ordered producer, landed SEQUENTIALLY: the file stream source
-    # orders by modification time, and a single parallel write of ordered
-    # ranges gives files mtimes in task-COMPLETION order — a later range
-    # could list first, and its epoch would advance the watermark past the
-    # earlier range (silently skipped). Four small append jobs in LSN order
-    # are exactly what a real WAL tail produces.
-    max_lsn = int(log.agg(F.max("lsn")).first()[0])
-    step = (max_lsn + 3) // 4 + 1
-    for i in range(4):
-        log.where(
-            (F.col("lsn") > i * step) & (F.col("lsn") <= (i + 1) * step)
-        ).coalesce(1).write.mode("append").parquet(events_dir)
+    # LSN-ordered producer, landed SEQUENTIALLY (see land_lsn_ordered:
+    # the file source's producer ordering contract)
+    land_lsn_ordered(log, events_dir, waves=4)
     eng = CdcEngine(
         spark, os.path.join(root, "state"), key_cols=("user_id",), num_buckets=8
     )
@@ -407,18 +399,14 @@ def stream_multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition exactly-once per table. Same oracle as the batch twin."""
     from techtalk_data_pipeline_snowpark_spark.cdc import MultiTableCdcEngine
     from techtalk_data_pipeline_snowpark_spark.streaming.cdc_stream import (
+        land_lsn_ordered,
         stream_replay_multitable,
     )
 
     log = _multitable_log(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="mtstream_")
     events_dir = os.path.join(root, "ev")
-    max_lsn = int(log.agg(F.max("lsn")).first()[0])
-    step = (max_lsn + 3) // 4 + 1
-    for i in range(4):  # sequential appends — the WAL tail's mtime order
-        log.where(
-            (F.col("lsn") > i * step) & (F.col("lsn") <= (i + 1) * step)
-        ).coalesce(1).write.mode("append").parquet(events_dir)
+    land_lsn_ordered(log, events_dir, waves=4)
     mt = MultiTableCdcEngine(spark, os.path.join(root, "mt"), _multitable_routes())
     q = stream_replay_multitable(
         spark,

@@ -694,6 +694,11 @@ class CdcEngine:
         exclusive with ``compact_every`` (pick inline or background) and
         with WAP (``audit_fn``): a main-table compact landing between a
         WAP fork and its publish would invalidate the publish rebase."""
+        if epoch_size <= 0:
+            raise ValueError(
+                f"epoch_size must be positive, got {epoch_size} — a "
+                "non-positive size would never advance the epoch loop"
+            )
         if background_compact_interval is not None:
             if background_compact_interval <= 0:
                 raise ValueError(

@@ -121,16 +121,19 @@ class MultiTableCdcEngine:
         return self.engines[name].read_state()
 
     # ------------------------------------------------------------ routing
+    def _require_table_col(self, events: DataFrame) -> None:
+        if self.table_col not in set(events.columns):
+            raise ValueError(
+                f"event frame has no discriminator column "
+                f"{self.table_col!r} (has {sorted(events.columns)})"
+            )
+
     def routed(self, events: DataFrame, name: str) -> DataFrame:
         """The sub-log for one table: discriminator filter + payload
         projection, both pushable into the log scan."""
         spec = self.routes[name]
         cols = set(events.columns)
-        if self.table_col not in cols:
-            raise ValueError(
-                f"event frame has no discriminator column "
-                f"{self.table_col!r} (has {sorted(cols)})"
-            )
+        self._require_table_col(events)
         sub = events.where(F.col(self.table_col) == name)
         if spec.columns is None:
             return sub.drop(self.table_col)
@@ -146,6 +149,7 @@ class MultiTableCdcEngine:
         """Distinct discriminator values in the log that no route claims,
         with event counts — one partial-aggregated pass, on demand (not
         per epoch: the replay path never pays for this)."""
+        self._require_table_col(events)
         unclaimed = ~F.col(self.table_col).isin(*self.routes.keys())
         # a NULL discriminator is unrouted too — a bare NOT-IN would drop
         # it from the report (three-valued logic), hiding malformed events
@@ -172,9 +176,19 @@ class MultiTableCdcEngine:
         from its own watermark. Returns per-table epoch results (skips
         included, so a resumed run shows exactly which table re-applied
         which epoch)."""
+        if epoch_size <= 0:
+            raise ValueError(
+                f"epoch_size must be positive, got {epoch_size} — a "
+                "non-positive size would never advance the epoch grid"
+            )
         if max_lsn is None:
             max_lsn = events.agg(F.max("lsn")).first()[0] or 0
         marks = self.last_lsns()
+        # epoch ids read ONCE per table (a snapshot load each) — the
+        # driver-side skip below must not pay an O(retained log) snapshot
+        # replay per skipped epoch (bootstrap of a new route skips every
+        # already-applied epoch for every existing table)
+        eids = {n: e.last_epoch_id() for n, e in self.engines.items()}
         cur = min(marks.values())
         results: dict[str, list[EpochResult]] = {n: [] for n in self.engines}
         while cur < max_lsn:
@@ -185,9 +199,7 @@ class MultiTableCdcEngine:
                     # the same from the watermark, but without this it
                     # still plans a slice frame per table per epoch
                     results[name].append(
-                        EpochResult(
-                            eng.last_epoch_id(), cur, hi, 0, 0, 0, 0, skipped=True
-                        )
+                        EpochResult(eids[name], cur, hi, 0, 0, 0, 0, skipped=True)
                     )
                     continue
                 res = eng.apply_epoch(
@@ -197,6 +209,7 @@ class MultiTableCdcEngine:
                     lineage={**(lineage or {}), "table": name},
                 )
                 marks[name] = hi
+                eids[name] = res.epoch_id
                 results[name].append(res)
             cur = hi
         return results

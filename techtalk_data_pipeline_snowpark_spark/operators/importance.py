@@ -34,6 +34,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .sharding import _hash_prefix
+from .vocab import _tokens
+
 __all__ = [
     "bucket_log_ratios",
     "dsir_select",
@@ -41,18 +44,14 @@ __all__ = [
     "ngram_features",
 ]
 
-_HEX_WIDTH = 8  # 32 uniform bits — same decision-hash width as sharding.py
-
 
 def ngram_features(text_col: str, ngram_max: int = 2) -> Column:
-    """Array of unigram + bigram strings from lowered whitespace tokens
-    (empties removed — the tokenization every text operator here shares).
-    ``ngram_max=1`` keeps unigrams only."""
+    """Array of unigram + bigram strings over the shared tokenization
+    (vocab._tokens: lowered whitespace tokens, empties removed — change
+    it there or nowhere). ``ngram_max=1`` keeps unigrams only."""
     if ngram_max not in (1, 2):
         raise ValueError(f"ngram_max must be 1 or 2, got {ngram_max}")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
-    )
+    toks = _tokens(text_col)
     if ngram_max == 1:
         return toks
     # sequence(2, n) DESCENDS when n < 2 — guard short docs explicitly
@@ -67,10 +66,10 @@ def ngram_features(text_col: str, ngram_max: int = 2) -> Column:
 
 
 def _bucket(term: Column, num_buckets: int) -> Column:
-    return (
-        F.conv(F.substring(F.md5(term), 1, _HEX_WIDTH), 16, 10).cast("long")
-        % num_buckets
-    )
+    # sharding._hash_prefix is THE shared decision hash (its contract:
+    # change it there or nowhere); here its 32 hex-prefix bits become an
+    # integer bucket id — the same conv() both DuckDB oracles replay
+    return F.conv(_hash_prefix(term, ""), 16, 10).cast("long") % num_buckets
 
 
 def hashed_bucket_counts(
@@ -126,14 +125,10 @@ def bucket_log_ratios(
 
 def _gumbel(ident: Column, salt: str) -> Column:
     """Gumbel(0,1) noise as a pure function of (id, salt): invert the
-    32-bit md5-prefix uniform. +0.5 keeps u strictly inside (0, 1)."""
+    32-bit uniform from the shared decision hash (sharding._hash_prefix).
+    +0.5 keeps u strictly inside (0, 1)."""
     u = (
-        F.conv(
-            F.substring(F.md5(F.concat(ident.cast("string"), F.lit(salt))), 1, _HEX_WIDTH),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(0.5)
+        F.conv(_hash_prefix(ident, salt), 16, 10).cast("double") + F.lit(0.5)
     ) / F.lit(4294967296.0)
     return -F.log(-F.log(u))
 
@@ -148,6 +143,7 @@ def dsir_select(
     alpha: float = 1.0,
     salt: str = "",
     ngram_max: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """The ``k`` raw documents Gumbel-top-k-sampled ∝ their importance
     weight toward ``target``: (id, logw, sel_key), sel_key descending.
@@ -156,9 +152,43 @@ def dsir_select(
     product of likelihood ratios) and compete through their Gumbel noise
     alone — they are not silently dropped. sel_key is rounded to 6
     decimals with the id as tie-break so the cut is deterministic and
-    has an exact SQL twin."""
+    has an exact SQL twin.
+
+    ``materialize=True`` (default) persists the shared intermediates and
+    eagerly materializes the ≤k-row result (one featurize pass per
+    corpus); ``materialize=False`` returns the lazy one-shot plan for
+    ``.explain()``/plan assertions and further composition."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+
+    def _plan(doc_counts: DataFrame, raw_model: DataFrame, target_model: DataFrame):
+        ratios = bucket_log_ratios(target_model, raw_model, num_buckets, alpha)
+        scored = (
+            doc_counts.join(F.broadcast(ratios), "bucket")
+            .groupBy(id_col)
+            # cnt as DECIMAL(9,0): the product stays inside DECIMAL(38,·)
+            # in BOTH engines (a bare BIGINT × DECIMAL(22,9) overflows
+            # DuckDB's 38-digit cap and would silently fall back to DOUBLE)
+            .agg(
+                F.sum(F.col("cnt").cast("decimal(9,0)") * F.col("ratio")).alias("_logw")
+            )
+        )
+        # feature-less docs: logw = 0, selected on Gumbel noise alone
+        scored = raw.select(id_col).join(scored, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce(F.col("_logw"), F.lit(0).cast("decimal(22,9)")).alias("_logw"),
+        )
+        key = F.round(F.col("_logw").cast("double") + _gumbel(F.col(id_col), salt), 6)
+        return (
+            scored.select(
+                F.col(id_col),
+                F.col("_logw").cast("double").alias("logw"),
+                key.alias("sel_key"),
+            )
+            .orderBy(F.col("sel_key").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+
     doc_counts = hashed_bucket_counts(
         raw, text_col, num_buckets, id_col=id_col, ngram_max=ngram_max
     )
@@ -166,29 +196,30 @@ def dsir_select(
     target_model = hashed_bucket_counts(
         target, text_col, num_buckets, ngram_max=ngram_max
     )
-    ratios = bucket_log_ratios(target_model, raw_model, num_buckets, alpha)
-    scored = (
-        doc_counts.join(F.broadcast(ratios), "bucket")
-        .groupBy(id_col)
-        # cnt as DECIMAL(9,0): the product stays inside DECIMAL(38,·) in
-        # BOTH engines (a bare BIGINT × DECIMAL(22,9) overflows DuckDB's
-        # 38-digit cap and would silently fall back to DOUBLE there)
-        .agg(
-            F.sum(F.col("cnt").cast("decimal(9,0)") * F.col("ratio")).alias("_logw")
-        )
-    )
-    # feature-less docs: logw = 0, selected on Gumbel noise alone
-    scored = raw.select(id_col).join(scored, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce(F.col("_logw"), F.lit(0).cast("decimal(22,9)")).alias("_logw"),
-    )
-    key = F.round(F.col("_logw").cast("double") + _gumbel(F.col(id_col), salt), 6)
-    return (
-        scored.select(
-            F.col(id_col),
-            F.col("_logw").cast("double").alias("logw"),
-            key.alias("sel_key"),
-        )
-        .orderBy(F.col("sel_key").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    if not materialize:
+        # lazy single plan — for .explain()/plan tests; re-featurizes the
+        # corpus once per consumer of doc_counts (the materialized path
+        # below is the scale posture)
+        return _plan(doc_counts, raw_model, target_model)
+
+    # Persist barriers (the signatures-table convention, dedup.py): the
+    # per-doc bucket counts feed BOTH the raw model and the scoring join,
+    # and each model is consumed by its total (.first()) and the ratio
+    # join — without them the raw corpus featurizes three times and the
+    # target twice. The ≤k-row result is materialized eagerly so the
+    # barriers release before returning; the final orderBy re-states the
+    # (sel_key desc, id) order on the checkpointed k rows.
+    from pyspark import StorageLevel
+
+    doc_counts = doc_counts.persist(StorageLevel.MEMORY_AND_DISK)
+    raw_model = doc_counts.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # ≤ B rows
+    target_model = target_model.persist(StorageLevel.MEMORY_AND_DISK)  # ≤ B rows
+    try:
+        out = _plan(doc_counts, raw_model, target_model).localCheckpoint(eager=True)
+    finally:
+        doc_counts.unpersist()
+        raw_model.unpersist()
+        target_model.unpersist()
+    return out.orderBy(F.col("sel_key").desc(), F.col(id_col).asc())

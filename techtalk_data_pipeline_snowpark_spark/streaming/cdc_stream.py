@@ -105,6 +105,23 @@ CHANGE_EVENT_SCHEMA = T.StructType(
 )
 
 
+def land_lsn_ordered(log, events_dir: str, waves: int = 4) -> int:
+    """Land ``log`` into ``events_dir`` as ``waves`` sequential LSN-range
+    parquet appends — the mtime-ordered landing a real WAL tail produces
+    and the file source's ordering contract requires (a parallel bulk
+    write gets part-file mtimes in task-COMPLETION order; a later range
+    listed first would advance the watermark past an earlier one).
+    Returns the log's max LSN. Shared by the streaming entry twins and
+    their tests — the boundary arithmetic lives here or nowhere."""
+    max_lsn = int(log.agg(F.max("lsn")).first()[0])
+    step = (max_lsn + waves - 1) // waves + 1
+    for i in range(waves):
+        log.where(
+            (F.col("lsn") > i * step) & (F.col("lsn") <= (i + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+    return max_lsn
+
+
 def stream_replay(
     spark: SparkSession,
     events_dir: str,

@@ -167,7 +167,7 @@ def test_validation(spark):
 def test_plan_broadcast_ratio_and_partial_topk(spark):
     raw = spark.createDataFrame(RAW, "id long, text string")
     tgt = spark.createDataFrame(TARGET, "id long, text string")
-    df = dsir_select(raw, tgt, "id", "text", 3, B)
+    df = dsir_select(raw, tgt, "id", "text", 3, B, materialize=False)
     plan = formatted_plan(df)
     assert has_broadcast_hash_join(df)  # ≤B-row ratio table broadcasts
     assert "TakeOrderedAndProject" in plan  # map-side partial top-k cut

@@ -265,14 +265,11 @@ def test_validation(spark, tmp_path):
 
 
 def _land_waves(spark, log, events_dir, waves=4):
-    """Sequential LSN-range appends — the mtime-ordered landing a real WAL
-    tail produces (the file source's ordering contract)."""
-    max_lsn = int(log.agg(F.max("lsn")).first()[0])
-    step = (max_lsn + waves - 1) // waves + 1
-    for i in range(waves):
-        log.where(
-            (F.col("lsn") > i * step) & (F.col("lsn") <= (i + 1) * step)
-        ).coalesce(1).write.mode("append").parquet(events_dir)
+    from techtalk_data_pipeline_snowpark_spark.streaming.cdc_stream import (
+        land_lsn_ordered,
+    )
+
+    land_lsn_ordered(log, events_dir, waves)
 
 
 def test_stream_multitable_matches_batch(spark, tmp_path):
